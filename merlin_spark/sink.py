@@ -1,0 +1,305 @@
+"""Transactional lake sink — Iceberg semantics, two implementations.
+
+BASELINE.json:6 demands "key-partitioned MERGE upserts into an Iceberg
+table … idempotent, transactional Iceberg commits for exactly-once".
+This sandbox has no Iceberg jars (SURVEY.md §0), so the sink is an
+interface:
+
+- :class:`IcebergSink` — the target design on a real cluster: one
+  ``MERGE INTO`` per micro-batch (atomic Iceberg commit), table bucketed
+  by conv_id so the MERGE is a storage-partitioned join (no shuffle of
+  the target side). Raises unless an Iceberg catalog is configured.
+- :class:`IceboxSink` — in-repo snapshot-manifest format with the same
+  commit semantics, executable here:
+
+  table_dir/
+    data/stage-<uuid>/b=<bucket>/part-*.parquet   (immutable data files)
+    snapshots/v{N}.json                           (atomic-rename commits)
+
+  A snapshot manifest records: live files per bucket, current schema,
+  the (batch_id, lsn range) ledger for idempotence, row counts, and the
+  parent version. Commit = write data files → write manifest to a temp
+  name → ``os.rename`` (atomic on POSIX) → done. Readers list
+  ``snapshots/`` and take max N: they never see a partial commit.
+
+Scale design: the table is hash-bucketed on conv_id (pmod(xxhash64)),
+the Iceberg bucket transform's moral equivalent. A micro-batch only
+rewrites buckets its keys hash into — manifest-level partition pruning —
+and each bucket is written sorted by (conv_id, turn_idx) for locality.
+At 100 TB you'd raise n_buckets into the thousands and add min/max key
+stats per file (recorded here too) for finer pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .apply import collect_evolutions, merge_state, prepare_batch, route_ops
+from .lineage import emit_lineage
+from .schemas import SYSTEM_LSN, TRANSCRIPT_FIELDS
+
+BASE_SCHEMA_DDL = [(f.name, f.dataType.simpleString()) for f in TRANSCRIPT_FIELDS] + [
+    (SYSTEM_LSN, "bigint")
+]
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+class IceboxSink:
+    """Snapshot-manifest transactional sink (Iceberg-equivalent commits)."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16,
+                 salt_buckets: int = 0):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self.salt_buckets = salt_buckets
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def current_version(self) -> int:
+        snaps = [
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.path, "snapshots"))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(snaps, default=-1)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return {
+                "version": -1,
+                "batch_id": -1,
+                "schema": BASE_SCHEMA_DDL,
+                "files": {},
+                "lsn_hi": -1,
+                "applied": [],
+                "total_rows": 0,
+            }
+        with open(os.path.join(self.path, "snapshots", f"v{v}.json")) as f:
+            return json.load(f)
+
+    def schema(self, man: dict | None = None) -> StructType:
+        man = man or self.manifest()
+        ddl = ", ".join(f"`{n}` {t}" for n, t in man["schema"])
+        return StructType.fromDDL(ddl)
+
+    # ------------------------------------------------------------- read
+
+    def read(self, buckets: list[int] | None = None,
+             man: dict | None = None) -> DataFrame:
+        """Read the live table (optionally bucket-pruned). Files written
+        before a schema evolution lack new columns; reading with the
+        declared current schema backfills NULL (by-name parquet
+        resolution) — no rewrite needed for additive evolution."""
+        man = man or self.manifest()
+        files = []
+        for b, fl in man["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.path, p) for p in fl)
+        if not files:
+            return self.spark.createDataFrame([], self.schema(man))
+        return self.spark.read.schema(self.schema(man)).parquet(*files)
+
+    # ------------------------------------------------------------ write
+
+    def _write_buckets(self, df: DataFrame, touched: list[int]) -> dict[str, list[str]]:
+        """Write one sorted file-set per touched bucket; returns
+        bucket → relative paths. repartition on the bucket column =
+        the key-partitioned write (BASELINE.json:6); sortWithinPartitions
+        gives (conv_id, turn_idx) file locality for later scans."""
+        stage = f"data/stage-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, stage)
+        (
+            df.withColumn("b", _bucket_col(self.n_buckets))
+            .repartition(max(len(touched), 1), "b")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.partitionBy("b")
+            .parquet(out)
+        )
+        files: dict[str, list[str]] = {}
+        for bdir in os.listdir(out):
+            if not bdir.startswith("b="):
+                continue
+            b = str(int(bdir.split("=", 1)[1]))
+            files[b] = [
+                f"{stage}/{bdir}/{f}"
+                for f in os.listdir(os.path.join(out, bdir))
+                if f.endswith(".parquet")
+            ]
+        return files
+
+    def _commit(self, man: dict, new_files: dict[str, list[str]],
+                batch_id: int, lsn_lo, lsn_hi, n_rows: int) -> dict:
+        """Atomic snapshot swap. POSIX rename gives all-or-nothing
+        visibility; a crash before the rename leaves only unreferenced
+        staged files (GC'd by vacuum())."""
+        version = man["version"] + 1
+        files = dict(man["files"])
+        files.update(new_files)  # touched buckets replaced wholesale
+        new_man = {
+            "version": version,
+            "parent": man["version"],
+            "batch_id": int(batch_id),
+            "applied": (man.get("applied", []) + [int(batch_id)])[-1000:],
+            "schema": man["schema"],
+            "files": files,
+            "lsn_hi": int(lsn_hi) if lsn_hi is not None else man.get("lsn_hi", -1),
+            "lsn_lo_batch": int(lsn_lo) if lsn_lo is not None else None,
+            "total_rows": int(n_rows),
+            "n_buckets": self.n_buckets,
+        }
+        tmp = os.path.join(self.path, "snapshots", f".tmp-v{version}-{uuid.uuid4().hex[:8]}.json")
+        final = os.path.join(self.path, "snapshots", f"v{version}.json")
+        with open(tmp, "w") as f:
+            json.dump(new_man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        return new_man
+
+    # ---------------------------------------------------------- evolve
+
+    def _evolve(self, man: dict, evolutions: list[tuple[str, str]]) -> dict:
+        existing = {n for n, _ in man["schema"]}
+        for name, ddl in evolutions:
+            if name in existing:
+                continue  # add-if-absent: idempotent (SURVEY.md §2.9)
+            man["schema"] = man["schema"] + [(name, ddl or "string")]
+            existing.add(name)
+        return man
+
+    # ----------------------------------------------------------- apply
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> dict | None:
+        """foreachBatch entry — one transactional MERGE per micro-batch.
+
+        Exactly-once: Structured Streaming replays a crashed batch with
+        the SAME batch_id; the ledger check makes the replay a no-op if
+        the previous attempt already committed (BASELINE.json:6).
+        """
+        man = self.manifest()
+        if batch_id in man.get("applied", []) or batch_id <= man["batch_id"]:
+            return None  # idempotence gate: redelivered batch
+
+        rows, evo = route_ops(batch_df)
+        evolutions = collect_evolutions(evo)
+        man = self._evolve(man, evolutions)
+        evolved_now = [
+            (n, t) for n, t in man["schema"]
+            if n not in {f.name for f in TRANSCRIPT_FIELDS} and n != SYSTEM_LSN
+        ]
+
+        winners = prepare_batch(rows, evolved_now, self.salt_buckets)
+
+        # stats pass (also caches `winners` for the merge): touched
+        # buckets + lsn range + op counts in ONE tiny aggregate
+        winners = winners.withColumn("_b", _bucket_col(self.n_buckets)).cache()
+        stats = (
+            winners.groupBy("_b", "op").agg(
+                F.count("*").alias("n"), F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            )
+        ).collect()
+        if not stats:
+            winners.unpersist()
+            # still commit (advances the ledger) so replay skips this batch
+            new_man = self._commit(man, {}, batch_id, None, None, man.get("total_rows", 0))
+            return new_man
+        touched = sorted({int(r["_b"]) for r in stats})
+        lsn_lo = min(r["lo"] for r in stats)
+        lsn_hi = max(r["hi"] for r in stats)
+
+        stored = self.read(buckets=touched, man=man)
+        merged = merge_state(stored, winners.drop("_b"))
+        new_files = self._write_buckets(merged, touched)
+        # buckets that end up empty (all rows deleted) need their old
+        # files dropped even though no new file was written
+        for b in touched:
+            new_files.setdefault(str(b), [])
+        winners.unpersist()
+
+        n_rows = sum(
+            int(r["n"]) for r in stats
+        )  # batch rows; total recomputed lazily on read
+        new_man = self._commit(man, new_files, batch_id, lsn_lo, lsn_hi, n_rows)
+        emit_lineage(
+            self.spark, self.path, batch_id, new_man["version"], stats, lsn_lo, lsn_hi
+        )
+        return new_man
+
+    # ------------------------------------------------------ maintenance
+
+    def compact(self) -> dict:
+        """Rewrite every bucket to one sorted file-set (small-file
+        compaction — Iceberg's rewrite_data_files equivalent)."""
+        man = self.manifest()
+        df = self.read(man=man)
+        all_buckets = [int(b) for b in man["files"]]
+        new_files = self._write_buckets(df, all_buckets or [0])
+        return self._commit(man, new_files, man["batch_id"], None, man.get("lsn_hi"),
+                            man.get("total_rows", 0))
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the latest snapshot."""
+        man = self.manifest()
+        live = {os.path.join(self.path, p) for fl in man["files"].values() for p in fl}
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for root, _dirs, fs in os.walk(data_root):
+            for f in fs:
+                p = os.path.join(root, f)
+                if p not in live and f.endswith(".parquet"):
+                    os.remove(p)
+                    removed += 1
+        return removed
+
+
+class IcebergSink:
+    """MERGE INTO path — requires Iceberg runtime jars + catalog.
+
+    Kept as the documented cluster-production path (BASELINE.json:6);
+    constructing it without Iceberg available raises immediately so the
+    engine falls back to IceboxSink (session factory decides).
+    """
+
+    MERGE_SQL = """
+        MERGE INTO {table} t
+        USING {source} s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND s.op = 'D'
+             AND (s.ts, s.lsn) > (t.ts, t._lsn) THEN DELETE
+        WHEN MATCHED AND s.op != 'D'
+             AND (s.ts, s.lsn) > (t.ts, t._lsn) THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+        if "IcebergSparkSessionExtensions" not in exts:
+            raise RuntimeError(
+                "Iceberg runtime not configured in this session; use IceboxSink "
+                "(same commit semantics) — see module docstring"
+            )
+        self.spark = spark
+        self.table = table
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows, evo = route_ops(batch_df)
+        for name, ddl in collect_evolutions(evo):
+            self.spark.sql(
+                f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {name} {ddl}"
+            )
+        winners = prepare_batch(rows, [])
+        winners.createOrReplaceTempView("_merlin_batch")
+        self.spark.sql(self.MERGE_SQL.format(table=self.table, source="_merlin_batch"))
