@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .lww import lww_dedup, lww_dedup_salted
-from .schemas import MERGE_KEYS, OP_SCHEMA, SYSTEM_LSN
+from .schemas import MERGE_KEYS, OP_SCHEMA, SYSTEM_LSN, SYSTEM_OP
 from .textnorm import normalize_text
 
 # columns a prepared batch carries besides keys/payload/evolved
@@ -84,23 +84,35 @@ def prepare_batch(
 def as_pseudo_events(stored: DataFrame) -> DataFrame:
     """Lift stored table rows into the event shape so the merge is just
     LWW over (stored ∪ batch winners). Stored rows remember the (ts,
-    _lsn) that produced them, so cross-batch ordering is decidable."""
-    return stored.withColumn("op", F.lit("I")).withColumn("lsn", F.col(SYSTEM_LSN)).drop(SYSTEM_LSN)
+    _lsn, _op) of the event that produced them, so cross-batch ordering
+    is decidable — including DELETE TOMBSTONES: a stored `D` row must
+    keep outranking a redelivered older insert in a later batch, else
+    duplicate delivery resurrects deleted rows (BASELINE.json:6
+    exactly-once under redelivery)."""
+    return (
+        stored.withColumn("op", F.col(SYSTEM_OP))
+        .withColumn("lsn", F.col(SYSTEM_LSN))
+        .drop(SYSTEM_LSN, SYSTEM_OP)
+    )
+
+
+def _to_stored(resolved: DataFrame) -> DataFrame:
+    """Event-shaped winners → stored-table shape (_lsn/_op system cols,
+    tombstones RETAINED — filtered only at the user-facing view)."""
+    return resolved.withColumnRenamed("lsn", SYSTEM_LSN).withColumnRenamed(
+        "op", SYSTEM_OP
+    )
 
 
 def merge_state(stored: DataFrame, winners: DataFrame) -> DataFrame:
-    """(stored ∪ winners) → LWW → drop deletes → table rows (+_lsn).
+    """(stored ∪ winners) → LWW → stored rows incl. tombstones.
 
     unionByName(allowMissingColumns=True) IS the additive
     schema-evolution union (SURVEY.md §2.7): pre-evolution stored rows
     backfill NULL for new columns.
     """
     merged = as_pseudo_events(stored).unionByName(winners, allowMissingColumns=True)
-    resolved = lww_dedup(merged)
-    live = resolved.where(F.col("op") != "D")
-    out_cols = [c for c in resolved.columns if c not in ("op",)]
-    live = live.select(*out_cols).withColumnRenamed("lsn", SYSTEM_LSN)
-    return live
+    return _to_stored(lww_dedup(merged))
 
 
 def replay_batch(events: DataFrame, salt_buckets: int = 0) -> tuple[DataFrame, list[tuple[str, str]]]:
@@ -115,18 +127,17 @@ def replay_batch(events: DataFrame, salt_buckets: int = 0) -> tuple[DataFrame, l
     rows, evo = route_ops(events)
     evolved = collect_evolutions(evo)
     winners = prepare_batch(rows, evolved, salt_buckets)
-    live = winners.where(F.col("op") != "D")
-    out_cols = [c for c in winners.columns if c != "op"]
-    return (
-        live.select(*out_cols).withColumnRenamed("lsn", SYSTEM_LSN),
-        evolved,
-    )
+    return _to_stored(winners), evolved
 
 
 def table_view(state: DataFrame, evolved: list[tuple[str, str]] | None = None) -> DataFrame:
-    """User-facing projection: contract columns + evolved, sorted for the
-    stable-(conv_id, turn_idx)-ordering equality check (BASELINE.json:15)."""
+    """User-facing projection: drop tombstones + system columns, sorted
+    for the stable-(conv_id, turn_idx)-ordering equality check
+    (BASELINE.json:15)."""
     base = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    extra = [n for n, _ in (evolved or []) if n in state.columns]
-    missing = [c for c in state.columns if c not in base + extra + [SYSTEM_LSN]]
-    return state.select(*base, *extra, *missing).orderBy(*MERGE_KEYS)
+    if SYSTEM_OP in state.columns:
+        state = state.where(F.col(SYSTEM_OP) != "D").drop(SYSTEM_OP)
+    if SYSTEM_LSN in state.columns:
+        state = state.drop(SYSTEM_LSN)
+    extra = [c for c in state.columns if c not in base]
+    return state.select(*base, *extra).orderBy(*MERGE_KEYS)

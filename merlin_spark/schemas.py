@@ -31,10 +31,12 @@ TRANSCRIPT_FIELDS = [
 TRANSCRIPT_SCHEMA = StructType(TRANSCRIPT_FIELDS)
 
 # System columns persisted in the lake table so that cross-batch
-# last-writer-wins is decidable on MERGE (the stored row remembers the
-# (ts, lsn) of the event that produced it — BASELINE.json:6 LWW window
-# is over (conv_id, turn_idx, ts, lsn)).
+# last-writer-wins is decidable on MERGE: the stored row remembers the
+# (ts, lsn) AND op of the event that produced it — BASELINE.json:6 LWW
+# window is over (conv_id, turn_idx, ts, lsn), and deletes must persist
+# as tombstones so redelivered older inserts cannot resurrect them.
 SYSTEM_LSN = "_lsn"
+SYSTEM_OP = "_op"
 
 # Change-event envelope: FIXTURES.md §A2.
 EVENT_SCHEMA = StructType(

@@ -42,10 +42,11 @@ from pyspark.sql.types import StructType
 
 from .apply import collect_evolutions, merge_state, prepare_batch, route_ops
 from .lineage import emit_lineage
-from .schemas import SYSTEM_LSN, TRANSCRIPT_FIELDS
+from .schemas import SYSTEM_LSN, SYSTEM_OP, TRANSCRIPT_FIELDS
 
 BASE_SCHEMA_DDL = [(f.name, f.dataType.simpleString()) for f in TRANSCRIPT_FIELDS] + [
-    (SYSTEM_LSN, "bigint")
+    (SYSTEM_LSN, "bigint"),
+    (SYSTEM_OP, "string"),
 ]
 
 
@@ -111,6 +112,11 @@ class IceboxSink:
         if not files:
             return self.spark.createDataFrame([], self.schema(man))
         return self.spark.read.schema(self.schema(man)).parquet(*files)
+
+    def read_live(self, man: dict | None = None) -> DataFrame:
+        """User-facing read: tombstones filtered, system cols dropped."""
+        df = self.read(man=man)
+        return df.where(F.col(SYSTEM_OP) != "D").drop(SYSTEM_OP, SYSTEM_LSN)
 
     # ------------------------------------------------------------ write
 
@@ -198,7 +204,8 @@ class IceboxSink:
         man = self._evolve(man, evolutions)
         evolved_now = [
             (n, t) for n, t in man["schema"]
-            if n not in {f.name for f in TRANSCRIPT_FIELDS} and n != SYSTEM_LSN
+            if n not in {f.name for f in TRANSCRIPT_FIELDS}
+            and n not in (SYSTEM_LSN, SYSTEM_OP)
         ]
 
         winners = prepare_batch(rows, evolved_now, self.salt_buckets)
@@ -240,11 +247,17 @@ class IceboxSink:
 
     # ------------------------------------------------------ maintenance
 
-    def compact(self) -> dict:
+    def compact(self, drop_tombstones: bool = False) -> dict:
         """Rewrite every bucket to one sorted file-set (small-file
-        compaction — Iceberg's rewrite_data_files equivalent)."""
+        compaction — Iceberg's rewrite_data_files equivalent).
+
+        drop_tombstones=True additionally GCs delete tombstones — only
+        safe once the source guarantees no event older than lsn_hi can
+        still be redelivered (retention boundary, operator's call)."""
         man = self.manifest()
         df = self.read(man=man)
+        if drop_tombstones:
+            df = df.where(F.col(SYSTEM_OP) != "D")
         all_buckets = [int(b) for b in man["files"]]
         new_files = self._write_buckets(df, all_buckets or [0])
         return self._commit(man, new_files, man["batch_id"], None, man.get("lsn_hi"),

@@ -19,7 +19,7 @@ from merlin_spark.schemas import EVENT_SCHEMA
 def _spark_final(spark, log: pd.DataFrame, salt: int = 0) -> pd.DataFrame:
     events = spark.createDataFrame(log, schema=EVENT_SCHEMA)
     state, evolved = replay_batch(events, salt_buckets=salt)
-    out = table_view(state, evolved).drop("_lsn").toPandas()
+    out = table_view(state, evolved).toPandas()
     return out.reset_index(drop=True)
 
 
