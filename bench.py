@@ -62,21 +62,32 @@ def run_replay_bench(spark, n_events: int, cpus: int) -> dict:
         gen_s = time.monotonic() - t0
         _log(f"[bench] generated {n_events} events in {gen_s:.1f}s")
 
+        # merge-on-read is the throughput-mode default: O(batch) writes
+        # per micro-batch; final compact() (counted in the wall) folds
+        # versions so the measured state is fully materialized
+        sink_mode = os.environ.get("MERLIN_SINK_MODE", "mor")
         cfg = StreamConfig(
             log_path=log_path,
             table_path=table_path,
             checkpoint_path=ckpt_path,
             n_buckets=max(32, cpus),
+            sink_mode=sink_mode,
             # 4 micro-batches: exercises incremental merge into a growing
             # table (the realistic CDC shape), not one giant batch
             max_files_per_trigger=max(1, n_segments // 4),
         )
         t0 = time.monotonic()
         replay(spark, cfg, timeout_s=3600.0)
+        if sink_mode == "mor":
+            # converged *materialized* state includes folding versions
+            from merlin_spark.sink import IceboxSink
+
+            IceboxSink(spark, table_path, cfg.n_buckets).compact()
         replay_s = time.monotonic() - t0
         _log(f"[bench] replay {replay_s:.1f}s → {n_events / replay_s:.0f} events/s")
         return {
             "replay_sec": round(replay_s, 3),
+            "sink_mode": sink_mode,
             "events_per_sec": round(n_events / replay_s, 1),
             "n_events": n_events,
             "gen_sec": round(gen_s, 3),

@@ -98,6 +98,7 @@ def main() -> None:
             res = submit(f"local[{n}]", pyfiles, [
                 "--log", log_path, "--table", table, "--ckpt", ckpt,
                 "--n-buckets", "32",
+                "--sink-mode", "mor", "--compact",
                 "--max-files-per-trigger", "16",
                 "--cores", str(n),
             ])

@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--salt-buckets", type=int, default=0)
+    ap.add_argument("--sink-mode", choices=["cow", "mor"], default="cow",
+                    help="copy-on-write vs merge-on-read (sink.IceboxSink)")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold file versions after replay (counted in wall)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="parallelism hint for shuffle sizing (defaults to "
@@ -74,15 +78,17 @@ def main() -> None:
         checkpoint_path=args.ckpt,
         n_buckets=args.n_buckets,
         salt_buckets=args.salt_buckets,
+        sink_mode=args.sink_mode,
         max_files_per_trigger=args.max_files_per_trigger,
     )
-    t0 = time.monotonic()
-    replay(spark, cfg, timeout_s=3600.0)
-    wall = time.monotonic() - t0
-
     from merlin_spark.sink import IceboxSink
 
+    t0 = time.monotonic()
+    replay(spark, cfg, timeout_s=3600.0)
     sink = IceboxSink(spark, args.table, args.n_buckets)
+    if args.compact:
+        sink.compact()
+    wall = time.monotonic() - t0
     man = sink.manifest()
     n_events = args.gen_events or spark.read.parquet(args.log).count()
     out = {

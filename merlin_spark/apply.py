@@ -96,7 +96,7 @@ def as_pseudo_events(stored: DataFrame) -> DataFrame:
     )
 
 
-def _to_stored(resolved: DataFrame) -> DataFrame:
+def to_stored(resolved: DataFrame) -> DataFrame:
     """Event-shaped winners → stored-table shape (_lsn/_op system cols,
     tombstones RETAINED — filtered only at the user-facing view)."""
     return resolved.withColumnRenamed("lsn", SYSTEM_LSN).withColumnRenamed(
@@ -112,7 +112,7 @@ def merge_state(stored: DataFrame, winners: DataFrame) -> DataFrame:
     backfill NULL for new columns.
     """
     merged = as_pseudo_events(stored).unionByName(winners, allowMissingColumns=True)
-    return _to_stored(lww_dedup(merged))
+    return to_stored(lww_dedup(merged))
 
 
 def replay_batch(events: DataFrame, salt_buckets: int = 0) -> tuple[DataFrame, list[tuple[str, str]]]:
@@ -127,7 +127,7 @@ def replay_batch(events: DataFrame, salt_buckets: int = 0) -> tuple[DataFrame, l
     rows, evo = route_ops(events)
     evolved = collect_evolutions(evo)
     winners = prepare_batch(rows, evolved, salt_buckets)
-    return _to_stored(winners), evolved
+    return to_stored(winners), evolved
 
 
 def table_view(state: DataFrame, evolved: list[tuple[str, str]] | None = None) -> DataFrame:

@@ -1,16 +1,27 @@
 """As-of join — latest right row at-or-before each left row per key.
 
 CDC point-in-time read shape (SURVEY.md §2.3). Spark has no built-in
-as-of join; the idiomatic scale path is cogrouped-pandas: both sides are
-hash-partitioned on the key (one shuffle each), then per-key groups are
-joined vectorized with ``pd.merge_asof`` inside Arrow batches — no
-driver collect, no per-row Python.
+as-of join; two formulations, same semantics:
+
+- :func:`asof_join` (default) — **union + window**, fully JVM-side: tag
+  right rows with a value struct, union both sides, and per key take
+  ``last(value_struct, ignorenulls=True)`` over rows ordered by
+  ``(ts, side)`` with right rows sorting before left rows at equal ts
+  (⇒ ``right.ts <= left.ts`` inclusive). ONE hash shuffle on the key,
+  whole-stage codegen, zero Python — the scale path.
+- :func:`asof_join_pandas` — cogrouped-pandas ``pd.merge_asof``: both
+  sides hash-partitioned on the key, per-key groups joined vectorized
+  inside Arrow batches. Kept for the ``tolerance`` option (bounded
+  lookback), which the window form can't express without a range frame
+  per right column.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -25,7 +36,52 @@ def asof_join(
     ``right.on <= left.on`` within the same ``by`` key.
 
     right_cols maps right column → output alias (besides on/by).
+    Ties among right rows at identical (by, on) resolve to an arbitrary
+    but single row (same caveat as DuckDB ASOF / pd.merge_asof).
     """
+    if tolerance is not None:
+        return asof_join_pandas(left, right, on, by, right_cols, tolerance)
+
+    l_cols = left.columns
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    rv_type = T.StructType(
+        [T.StructField(alias, r_types[src]) for src, alias in right_cols.items()]
+    )
+    r_tagged = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.struct(
+            *[F.col(src).alias(alias) for src, alias in right_cols.items()]
+        ).alias("_rv"),
+    )
+    l_tagged = left.select(
+        *l_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    return filled.where(F.col("_side") == 1).select(
+        *l_cols,
+        *[F.col(f"_m.{alias}").alias(alias) for alias in right_cols.values()],
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: dict[str, str],
+    tolerance: pd.Timedelta | None = None,
+) -> DataFrame:
+    """Cogrouped-pandas formulation (SNIPPETS.md:45-48 pattern)."""
     l_cols = left.columns
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]

@@ -157,7 +157,7 @@ def udaf_group_checksum(spark, sf_dir):
          ON p.user_id = v.user_id AND v.ts <= p.ts""",
 )
 def asof_join_events(spark, sf_dir):
-    """As-of join via cogrouped pandas merge_asof (SURVEY.md §2.3) —
+    """As-of join via the JVM-side union+window formulation (asof.asof_join) —
     for each purchase, the latest prior view by the same user. DuckDB's
     native ASOF JOIN is the oracle."""
     e = load(spark, sf_dir, "events")

@@ -10,7 +10,21 @@ interface:
   by conv_id so the MERGE is a storage-partitioned join (no shuffle of
   the target side). Raises unless an Iceberg catalog is configured.
 - :class:`IceboxSink` — in-repo snapshot-manifest format with the same
-  commit semantics, executable here:
+  commit semantics, executable here. Two write modes, mirroring
+  Iceberg's copy-on-write vs merge-on-read table properties:
+
+  * ``mode="cow"`` (copy-on-write): each micro-batch reads the touched
+    buckets, LWW-merges, and rewrites them. Reads are cheap (live rows
+    only); writes are O(touched table size) per batch — write
+    amplification grows with batches when the key space is wide.
+  * ``mode="mor"`` (merge-on-read): each micro-batch only APPENDS its
+    LWW winner files to the touched buckets — O(batch) write cost, the
+    right shape at 10^10 events where a micro-batch touches a tiny
+    fraction of keys but (under Zipf skew) most buckets. Reads resolve
+    LWW across file versions (correct because max_by is associative
+    and a key's versions all live in its hash bucket); ``compact()``
+    folds versions back to one file-set per bucket. This is Iceberg's
+    ``merge-on-read`` + ``rewrite_data_files`` lifecycle.
 
   table_dir/
     data/stage-<uuid>/b=<bucket>/part-*.parquet   (immutable data files)
@@ -58,13 +72,19 @@ class IceboxSink:
     """Snapshot-manifest transactional sink (Iceberg-equivalent commits)."""
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16,
-                 salt_buckets: int = 0):
+                 salt_buckets: int = 0, mode: str = "cow"):
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
         self.salt_buckets = salt_buckets
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        # an existing table's mode is part of its format: adopt it so a
+        # reader constructed with the default still resolves correctly
+        existing = self.manifest().get("mode")
+        self.mode = existing or mode
 
     # ------------------------------------------------------------ state
 
@@ -100,10 +120,17 @@ class IceboxSink:
 
     def read(self, buckets: list[int] | None = None,
              man: dict | None = None) -> DataFrame:
-        """Read the live table (optionally bucket-pruned). Files written
-        before a schema evolution lack new columns; reading with the
-        declared current schema backfills NULL (by-name parquet
-        resolution) — no rewrite needed for additive evolution."""
+        """Read the current table state (optionally bucket-pruned).
+
+        Files written before a schema evolution lack new columns;
+        reading with the declared current schema backfills NULL (by-name
+        parquet resolution) — no rewrite needed for additive evolution.
+
+        In ``mor`` mode a bucket holds multiple file *versions* per key;
+        resolve LWW here. Bucket pruning stays correct because every
+        version of a key hashes to the same bucket. Resolution over
+        already-compacted (single-version) data is the identity.
+        """
         man = man or self.manifest()
         files = []
         for b, fl in man["files"].items():
@@ -111,7 +138,13 @@ class IceboxSink:
                 files.extend(os.path.join(self.path, p) for p in fl)
         if not files:
             return self.spark.createDataFrame([], self.schema(man))
-        return self.spark.read.schema(self.schema(man)).parquet(*files)
+        df = self.spark.read.schema(self.schema(man)).parquet(*files)
+        if man.get("mode", self.mode) == "mor":
+            from .apply import as_pseudo_events, to_stored
+            from .lww import lww_dedup
+
+            df = to_stored(lww_dedup(as_pseudo_events(df)))
+        return df
 
     def read_live(self, man: dict | None = None) -> DataFrame:
         """User-facing read: tombstones filtered, system cols dropped."""
@@ -147,13 +180,18 @@ class IceboxSink:
         return files
 
     def _commit(self, man: dict, new_files: dict[str, list[str]],
-                batch_id: int, lsn_lo, lsn_hi, n_rows: int) -> dict:
+                batch_id: int, lsn_lo, lsn_hi, n_rows: int,
+                append: bool = False) -> dict:
         """Atomic snapshot swap. POSIX rename gives all-or-nothing
         visibility; a crash before the rename leaves only unreferenced
         staged files (GC'd by vacuum())."""
         version = man["version"] + 1
         files = dict(man["files"])
-        files.update(new_files)  # touched buckets replaced wholesale
+        if append:  # mor: new version files layer on top of old ones
+            for b, fl in new_files.items():
+                files[b] = files.get(b, []) + fl
+        else:
+            files.update(new_files)  # touched buckets replaced wholesale
         new_man = {
             "version": version,
             "parent": man["version"],
@@ -161,6 +199,7 @@ class IceboxSink:
             "applied": (man.get("applied", []) + [int(batch_id)])[-1000:],
             "schema": man["schema"],
             "files": files,
+            "mode": self.mode,
             "lsn_hi": int(lsn_hi) if lsn_hi is not None else man.get("lsn_hi", -1),
             "lsn_lo_batch": int(lsn_lo) if lsn_lo is not None else None,
             "total_rows": int(n_rows),
@@ -227,19 +266,29 @@ class IceboxSink:
         lsn_lo = min(r["lo"] for r in stats)
         lsn_hi = max(r["hi"] for r in stats)
 
-        stored = self.read(buckets=touched, man=man)
-        merged = merge_state(stored, winners.drop("_b"))
-        new_files = self._write_buckets(merged, touched)
-        # buckets that end up empty (all rows deleted) need their old
-        # files dropped even though no new file was written
-        for b in touched:
-            new_files.setdefault(str(b), [])
-        winners.unpersist()
+        if self.mode == "mor":
+            # merge-on-read: append the batch's LWW winners (incl. delete
+            # tombstones) as new file versions — O(batch) write cost;
+            # read()/compact() resolve LWW across versions
+            from .apply import to_stored
+
+            new_files = self._write_buckets(to_stored(winners.drop("_b")), touched)
+            winners.unpersist()
+        else:
+            stored = self.read(buckets=touched, man=man)
+            merged = merge_state(stored, winners.drop("_b"))
+            new_files = self._write_buckets(merged, touched)
+            # buckets that end up empty (all rows deleted) need their old
+            # files dropped even though no new file was written
+            for b in touched:
+                new_files.setdefault(str(b), [])
+            winners.unpersist()
 
         n_rows = sum(
             int(r["n"]) for r in stats
         )  # batch rows; total recomputed lazily on read
-        new_man = self._commit(man, new_files, batch_id, lsn_lo, lsn_hi, n_rows)
+        new_man = self._commit(man, new_files, batch_id, lsn_lo, lsn_hi, n_rows,
+                               append=self.mode == "mor")
         emit_lineage(
             self.spark, self.path, batch_id, new_man["version"], stats, lsn_lo, lsn_hi
         )

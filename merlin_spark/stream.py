@@ -31,6 +31,7 @@ class StreamConfig:
     checkpoint_path: str
     n_buckets: int = 16
     salt_buckets: int = 0
+    sink_mode: str = "cow"  # "cow" | "mor" (see sink.IceboxSink)
     max_files_per_trigger: int | None = None
     processing_time: str | None = None  # None → availableNow (bounded replay)
     fail_after_batch: int | None = None  # test hook: crash injection
@@ -38,7 +39,8 @@ class StreamConfig:
 
 def run_stream(spark: SparkSession, cfg: StreamConfig) -> StreamingQuery:
     """Start the CDC apply stream; caller awaits/stops the query."""
-    sink = IceboxSink(spark, cfg.table_path, cfg.n_buckets, cfg.salt_buckets)
+    sink = IceboxSink(spark, cfg.table_path, cfg.n_buckets, cfg.salt_buckets,
+                      mode=cfg.sink_mode)
     events = read_stream(spark, cfg.log_path, cfg.max_files_per_trigger)
 
     def apply_batch(batch_df, batch_id: int):

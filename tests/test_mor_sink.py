@@ -1,0 +1,113 @@
+"""Merge-on-read sink mode (sink.IceboxSink mode="mor") — SURVEY.md §2.1.
+
+MoR appends LWW-winner file versions per micro-batch (O(batch) writes)
+and resolves LWW at read time; it must be observationally identical to
+copy-on-write: same converged state, same exactly-once behaviour, same
+schema-evolution semantics, and compaction must not change the state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from merlin_spark.apply import table_view
+from merlin_spark.fixtures import ChangelogSpec, gen_changelog, write_segments
+from merlin_spark.oracle import expected_state
+from merlin_spark.sink import IceboxSink
+from merlin_spark.stream import StreamConfig, replay
+
+
+def _final(spark, table_path) -> pd.DataFrame:
+    got = table_view(IceboxSink(spark, table_path).read(), None).toPandas()
+    return got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _assert_state(got: pd.DataFrame, exp: pd.DataFrame):
+    assert len(got) == len(exp)
+    exp = exp.reset_index(drop=True)
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+    pd.testing.assert_series_equal(got["conv_id"], exp["conv_id"], check_names=False)
+
+
+@pytest.fixture()
+def log():
+    return gen_changelog(
+        ChangelogSpec(seed=23, n_events=3000, n_convs=40, dup_rate=0.1,
+                      pct_delete=0.12, n_evo=2)
+    )
+
+
+def _cfg(tmp_path, **kw) -> StreamConfig:
+    return StreamConfig(
+        log_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink_mode="mor",
+        **kw,
+    )
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path, log):
+    write_segments(log, str(tmp_path / "log"), n_segments=6)
+    cfg = _cfg(tmp_path, max_files_per_trigger=2)
+    replay(spark, cfg, timeout_s=180)
+    _assert_state(_final(spark, cfg.table_path), expected_state(log))
+
+
+def test_mor_equals_cow(spark, tmp_path, log):
+    """Same log through both modes → byte-identical user-facing state."""
+    write_segments(log, str(tmp_path / "log"), n_segments=5)
+    mor = _cfg(tmp_path, max_files_per_trigger=2)
+    replay(spark, mor, timeout_s=180)
+    cow = StreamConfig(
+        log_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "table_cow"),
+        checkpoint_path=str(tmp_path / "ckpt_cow"),
+        sink_mode="cow",
+        max_files_per_trigger=2,
+    )
+    replay(spark, cow, timeout_s=180)
+    pd.testing.assert_frame_equal(
+        _final(spark, mor.table_path), _final(spark, cow.table_path)
+    )
+
+
+def test_mor_compaction_preserves_state_and_folds_files(spark, tmp_path, log):
+    write_segments(log, str(tmp_path / "log"), n_segments=6)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)  # 6 batches → 6 versions
+    replay(spark, cfg, timeout_s=240)
+    sink = IceboxSink(spark, cfg.table_path)
+    before = _final(spark, cfg.table_path)
+    n_files_before = sum(len(fl) for fl in sink.manifest()["files"].values())
+    sink.compact()
+    after = _final(spark, cfg.table_path)
+    n_files_after = sum(len(fl) for fl in sink.manifest()["files"].values())
+    pd.testing.assert_frame_equal(before, after)
+    assert n_files_after < n_files_before
+    # vacuum removes the superseded version files
+    assert sink.vacuum() > 0
+    pd.testing.assert_frame_equal(_final(spark, cfg.table_path), after)
+
+
+def test_mor_crash_resume(spark, tmp_path, log):
+    write_segments(log, str(tmp_path / "log"), n_segments=4)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, fail_after_batch=1)
+    with pytest.raises(Exception, match="injected crash"):
+        replay(spark, cfg, timeout_s=180)
+    cfg.fail_after_batch = None
+    replay(spark, cfg, timeout_s=180)
+    _assert_state(_final(spark, cfg.table_path), expected_state(log))
+    man = IceboxSink(spark, cfg.table_path).manifest()
+    assert len(man["applied"]) == len(set(man["applied"]))
+
+
+def test_mor_mode_persisted_in_manifest(spark, tmp_path, log):
+    """A reader constructed with the default mode must adopt the table's
+    recorded mode (it's part of the table format)."""
+    write_segments(log, str(tmp_path / "log"), n_segments=2)
+    cfg = _cfg(tmp_path)
+    replay(spark, cfg, timeout_s=180)
+    reader = IceboxSink(spark, cfg.table_path)  # default mode="cow"
+    assert reader.mode == "mor"
+    _assert_state(_final(spark, cfg.table_path), expected_state(log))
