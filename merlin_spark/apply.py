@@ -51,11 +51,16 @@ def prepare_batch(
     evolved: list[tuple[str, str]],
     salt_buckets: int = 0,
 ) -> DataFrame:
-    """Normalize + project + LWW-dedup one batch of row mutations.
+    """Project + LWW-dedup + normalize one batch of row mutations.
 
     Output schema: conv_id, turn_idx, op, lsn, role, text, tool, ts,
-    <evolved...>. Projection happens BEFORE the pandas UDF so the Arrow
-    round-trip ships only needed columns (SURVEY.md §4 hot-path (a)).
+    <evolved...>. Two bandwidth rules (SURVEY.md §4 hot-path (a)):
+    projection happens BEFORE the LWW shuffle so only needed columns
+    move, and the normalize pandas UDF runs AFTER the LWW dedup so the
+    Arrow round-trip ships only WINNERS (with update-heavy logs and
+    redelivery that is a several-fold cut in UDF bytes). Equivalent to
+    normalize-then-dedup because the LWW order (ts, lsn) never looks at
+    `text` and normalization is a pure per-row function.
     """
     cols = [
         F.col("conv_id"),
@@ -63,7 +68,7 @@ def prepare_batch(
         F.col("op"),
         F.col("lsn"),
         F.col("role"),
-        normalize_text(F.col("text")).alias("text"),
+        F.col("text"),
         F.col("tool"),
         F.col("ts"),
     ]
@@ -77,8 +82,10 @@ def prepare_batch(
     else:
         prepared = rows.select(*cols)
     if salt_buckets > 1:
-        return lww_dedup_salted(prepared, salt_buckets)
-    return lww_dedup(prepared)
+        winners = lww_dedup_salted(prepared, salt_buckets)
+    else:
+        winners = lww_dedup(prepared)
+    return winners.withColumn("text", normalize_text(F.col("text")))
 
 
 def as_pseudo_events(stored: DataFrame) -> DataFrame:

@@ -10,6 +10,8 @@ substrate (SURVEY.md §2.2/2.4/2.5/2.9).
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 import pandas as pd
 from pyspark.sql import Window
@@ -22,6 +24,25 @@ from .registry import query
 
 # LWW key/order stand-ins on the events table: key=(user_id, event_type),
 # order=(ts, event_id) — event_id unique like lsn.
+
+
+@query("changelog_scan")
+def changelog_scan(spark, sf_dir):
+    """Bounded LSN-range scan of a binlog directory (SURVEY.md §2.1 qkey
+    ``changelog_scan``): seeded synthetic segments (no external data),
+    declared EVENT_SCHEMA, `lsn BETWEEN` pushed into the parquet scan
+    (row-group pruning at 10^10-event scale). Rows-only driver check —
+    the changelog is not one of the ten DuckDB oracle views."""
+    from ..changelog import read_batch
+    from ..fixtures import ChangelogSpec, gen_changelog, write_segments
+
+    path = os.path.join(tempfile.gettempdir(), "merlin_qk_changelog_s42")
+    if not os.path.isdir(path) or not os.listdir(path):
+        log = gen_changelog(ChangelogSpec(seed=42, n_events=5000, n_convs=50))
+        write_segments(log, path, n_segments=4)  # deterministic: safe to reuse
+    return read_batch(spark, path, lsn_from=1000, lsn_to=4000).select(
+        "lsn", "op", "conv_id", "turn_idx", "role", "text"
+    )
 
 
 @query(

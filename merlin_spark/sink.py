@@ -153,16 +153,20 @@ class IceboxSink:
 
     # ------------------------------------------------------------ write
 
-    def _write_buckets(self, df: DataFrame, touched: list[int]) -> dict[str, list[str]]:
+    def _write_buckets(self, df: DataFrame, touched: list[int] | None,
+                       n_parts: int | None = None) -> dict[str, list[str]]:
         """Write one sorted file-set per touched bucket; returns
         bucket → relative paths. repartition on the bucket column =
         the key-partitioned write (BASELINE.json:6); sortWithinPartitions
-        gives (conv_id, turn_idx) file locality for later scans."""
+        gives (conv_id, turn_idx) file locality for later scans.
+        ``touched=None`` (mor fast path) sizes the exchange from
+        ``n_parts`` and discovers touched buckets from the written dirs."""
         stage = f"data/stage-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, stage)
+        parts = n_parts or max(len(touched or []), 1)
         (
             df.withColumn("b", _bucket_col(self.n_buckets))
-            .repartition(max(len(touched), 1), "b")
+            .repartition(parts, "b")
             .sortWithinPartitions("conv_id", "turn_idx")
             .write.partitionBy("b")
             .parquet(out)
@@ -249,8 +253,13 @@ class IceboxSink:
 
         winners = prepare_batch(rows, evolved_now, self.salt_buckets)
 
-        # stats pass (also caches `winners` for the merge): touched
-        # buckets + lsn range + op counts in ONE tiny aggregate
+        if self.mode == "mor":
+            return self._apply_mor(man, winners, batch_id)
+
+        # cow: stats pass (also caches `winners` for the merge): touched
+        # buckets + lsn range + op counts in ONE tiny aggregate. The
+        # collect must precede the merge because `touched` decides which
+        # stored buckets to read.
         winners = winners.withColumn("_b", _bucket_col(self.n_buckets)).cache()
         stats = (
             winners.groupBy("_b", "op").agg(
@@ -266,33 +275,86 @@ class IceboxSink:
         lsn_lo = min(r["lo"] for r in stats)
         lsn_hi = max(r["hi"] for r in stats)
 
-        if self.mode == "mor":
-            # merge-on-read: append the batch's LWW winners (incl. delete
-            # tombstones) as new file versions — O(batch) write cost;
-            # read()/compact() resolve LWW across versions
-            from .apply import to_stored
-
-            new_files = self._write_buckets(to_stored(winners.drop("_b")), touched)
-            winners.unpersist()
-        else:
-            stored = self.read(buckets=touched, man=man)
-            merged = merge_state(stored, winners.drop("_b"))
-            new_files = self._write_buckets(merged, touched)
-            # buckets that end up empty (all rows deleted) need their old
-            # files dropped even though no new file was written
-            for b in touched:
-                new_files.setdefault(str(b), [])
-            winners.unpersist()
+        stored = self.read(buckets=touched, man=man)
+        merged = merge_state(stored, winners.drop("_b"))
+        new_files = self._write_buckets(merged, touched)
+        # buckets that end up empty (all rows deleted) need their old
+        # files dropped even though no new file was written
+        for b in touched:
+            new_files.setdefault(str(b), [])
+        winners.unpersist()
 
         n_rows = sum(
             int(r["n"]) for r in stats
         )  # batch rows; total recomputed lazily on read
-        new_man = self._commit(man, new_files, batch_id, lsn_lo, lsn_hi, n_rows,
-                               append=self.mode == "mor")
+        new_man = self._commit(man, new_files, batch_id, lsn_lo, lsn_hi, n_rows)
         emit_lineage(
             self.spark, self.path, batch_id, new_man["version"], stats, lsn_lo, lsn_hi
         )
         return new_man
+
+    def _apply_mor(self, man: dict, winners: DataFrame, batch_id: int) -> dict:
+        """Merge-on-read apply: ONE pass over the batch.
+
+        The winners pipeline (normalize UDF → LWW shuffle) executes
+        exactly once, driven by the bucketed write; batch stats ride
+        along via ``DataFrame.observe`` (no cache, no second job, no
+        executor storage-memory spike at large batch sizes). Per-bucket
+        lineage stats come from the written parquet footers — free
+        metadata reads, the same trick Iceberg manifests use.
+        """
+        from pyspark.sql import Observation
+
+        from .apply import to_stored
+
+        obs = Observation()
+        observed = winners.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        )
+        new_files = self._write_buckets(
+            to_stored(observed), None, n_parts=self.n_buckets
+        )
+        got = obs.get
+        if not got["n"]:
+            # still commit (advances the ledger) so replay skips this batch
+            return self._commit(man, {}, batch_id, None, None,
+                                man.get("total_rows", 0), append=True)
+        stats = self._footer_stats(new_files)
+        new_man = self._commit(man, new_files, batch_id, got["lo"], got["hi"],
+                               int(got["n"]), append=True)
+        emit_lineage(self.spark, self.path, batch_id, new_man["version"],
+                     stats, got["lo"], got["hi"])
+        return new_man
+
+    def _footer_stats(self, files: dict[str, list[str]]) -> list[dict]:
+        """Per-bucket (rows, lsn range) from parquet footers — metadata
+        only, no data read. Op mix is not in footers; lineage rows carry
+        op='*' (the batch-level op split is recoverable from the log)."""
+        import pyarrow.parquet as pq
+
+        stats = []
+        for b, fl in files.items():
+            n = 0
+            lo = hi = None
+            for rel in fl:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                n += md.num_rows
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                j = idx.get(SYSTEM_LSN)
+                if j is None:
+                    continue
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(j).statistics
+                    if st is None:
+                        continue
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            stats.append({"_b": int(b), "op": "*", "n": n,
+                          "lo": lo or -1, "hi": hi or -1})
+        return stats
 
     # ------------------------------------------------------ maintenance
 
