@@ -83,9 +83,9 @@ def main() -> None:
         print(f"[breakdown] full_apply_mor: {times['full_apply_mor']}s",
               file=sys.stderr)
 
-        lww_s = times["scan+lww_shuffle"] - times["scan_only"]
-        udf_s = times["scan+lww+normalize_udf"] - times["scan+lww_shuffle"]
-        write_s = times["full_apply_mor"] - times["scan+lww+normalize_udf"]
+        lww_s = max(0.0, times["scan+lww_shuffle"] - times["scan_only"])
+        udf_s = max(0.0, times["scan+lww+normalize_udf"] - times["scan+lww_shuffle"])
+        write_s = max(0.0, times["full_apply_mor"] - times["scan+lww+normalize_udf"])
         section = f"""
 ## Hot-path breakdown ({args.events:,} events, local[{args.cpus}], mor)
 
