@@ -210,3 +210,40 @@ def lineage_op_counts(spark, sf_dir):
         F.max("event_id").alias("lsn_hi"),
         F.countDistinct("user_id").alias("n_keys"),
     )
+
+
+@query("udtf_parse_wal")
+def udtf_parse_wal(spark, sf_dir):
+    """Python UDTF (Spark 4) exploding raw text WAL lines into typed
+    change events — the SURVEY.md §2.9 stretch row. Demo/tooling path
+    only: UDTF eval is per-row Python, so the production changelog
+    sources stay parquet/JSONL with declared schemas (changelog.py);
+    this exists to cover the 'raw WAL tail' ingestion shape. Rows-only
+    driver check."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lsn bigint, op string, conv_id string, turn_idx int, payload string")
+    class ParseWal:
+        def eval(self, line: str):
+            if not line:
+                return
+            parts = line.split("|", 4)
+            if len(parts) == 5:
+                yield int(parts[0]), parts[1], parts[2], int(parts[3]), parts[4]
+
+    lines = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "|",
+            "event_id",
+            F.lit("I"),
+            "user_id",
+            F.pmod("event_id", F.lit(40)),
+            "event_type",
+        ).alias("line")
+    )
+    lines.createOrReplaceTempView("_wal_lines")
+    spark.udtf.register("parse_wal_udtf", ParseWal)
+    return spark.sql(
+        "SELECT w.lsn, w.op, w.conv_id, w.turn_idx, w.payload "
+        "FROM _wal_lines, LATERAL parse_wal_udtf(line) w"
+    )
