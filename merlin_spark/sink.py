@@ -200,7 +200,13 @@ class IceboxSink:
             "version": version,
             "parent": man["version"],
             "batch_id": int(batch_id),
-            "applied": (man.get("applied", []) + [int(batch_id)])[-1000:],
+            # maintenance commits (compact) reuse the current batch_id —
+            # never double-record it in the exactly-once ledger
+            "applied": (
+                man.get("applied", [])
+                if int(batch_id) in man.get("applied", [])
+                else man.get("applied", []) + [int(batch_id)]
+            )[-1000:],
             "schema": man["schema"],
             "files": files,
             "mode": self.mode,
@@ -394,18 +400,26 @@ class IcebergSink:
 
     Kept as the documented cluster-production path (BASELINE.json:6);
     constructing it without Iceberg available raises immediately so the
-    engine falls back to IceboxSink (session factory decides).
+    engine falls back to IceboxSink (session factory decides). The
+    target table stores the same `_lsn`/`_op` system columns as the
+    icebox format, so delete tombstones outrank redelivered older
+    inserts exactly as in `apply.as_pseudo_events` — and is created
+    `PARTITIONED BY (bucket(N, conv_id))` so the MERGE is a
+    storage-partitioned join (no shuffle of the target side) with AQE
+    skew-join handling the hot-conversation buckets.
+
+    LWW guard: Spark SQL has no tuple comparison `(a,b) > (c,d)`;
+    `struct(...)` comparison is the supported spelling and orders
+    lexicographically, matching lww.LWW_ORDER.
     """
 
     MERGE_SQL = """
         MERGE INTO {table} t
-        USING {source} s
+        USING _merlin_batch s
         ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
-        WHEN MATCHED AND s.op = 'D'
-             AND (s.ts, s.lsn) > (t.ts, t._lsn) THEN DELETE
-        WHEN MATCHED AND s.op != 'D'
-             AND (s.ts, s.lsn) > (t.ts, t._lsn) THEN UPDATE SET *
-        WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+        WHEN MATCHED AND struct(s.ts, s.lsn) > struct(t.ts, t._lsn)
+             THEN UPDATE SET {set_list}
+        WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})
     """
 
     def __init__(self, spark: SparkSession, table: str):
@@ -420,10 +434,26 @@ class IcebergSink:
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         rows, evo = route_ops(batch_df)
-        for name, ddl in collect_evolutions(evo):
+        evolutions = collect_evolutions(evo)
+        for name, ddl in evolutions:
             self.spark.sql(
                 f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {name} {ddl}"
             )
-        winners = prepare_batch(rows, [])
+        winners = prepare_batch(rows, evolutions)
         winners.createOrReplaceTempView("_merlin_batch")
-        self.spark.sql(self.MERGE_SQL.format(table=self.table, source="_merlin_batch"))
+        # tombstones are RETAINED as rows (op='D'), mirroring the icebox
+        # retention semantics; the live view filters them. Column lists
+        # are built explicitly: the event envelope (op, lsn) maps onto
+        # the (_op, _lsn) system columns, so SET */INSERT * would
+        # mis-bind.
+        payload = [c for c in winners.columns if c not in ("op", "lsn")]
+        sets = [f"t.{c} = s.{c}" for c in payload] + [
+            "t._lsn = s.lsn", "t._op = s.op"]
+        ins_cols = payload + ["_lsn", "_op"]
+        ins_vals = [f"s.{c}" for c in payload] + ["s.lsn", "s.op"]
+        self.spark.sql(self.MERGE_SQL.format(
+            table=self.table,
+            set_list=", ".join(sets),
+            ins_cols=", ".join(ins_cols),
+            ins_vals=", ".join(ins_vals),
+        ))

@@ -32,6 +32,9 @@ class StreamConfig:
     n_buckets: int = 16
     salt_buckets: int = 0
     sink_mode: str = "cow"  # "cow" | "mor" (see sink.IceboxSink)
+    compact_every: int | None = None  # mor maintenance: fold file
+    # versions every N batches so read amplification stays bounded on
+    # long tails (Iceberg's scheduled rewrite_data_files equivalent)
     max_files_per_trigger: int | None = None
     processing_time: str | None = None  # None → availableNow (bounded replay)
     fail_after_batch: int | None = None  # test hook: crash injection
@@ -45,6 +48,10 @@ def run_stream(spark: SparkSession, cfg: StreamConfig) -> StreamingQuery:
 
     def apply_batch(batch_df, batch_id: int):
         sink.apply(batch_df, batch_id)
+        if cfg.compact_every and (batch_id + 1) % cfg.compact_every == 0:
+            # a separate snapshot commit; crash between apply and
+            # compact loses only the maintenance work, never data
+            sink.compact()
         # crash injection AFTER the commit: the restarted stream must
         # treat the re-delivered batch as already applied (§5.3 test)
         if cfg.fail_after_batch is not None and batch_id >= cfg.fail_after_batch:

@@ -111,3 +111,17 @@ def test_mor_mode_persisted_in_manifest(spark, tmp_path, log):
     reader = IceboxSink(spark, cfg.table_path)  # default mode="cow"
     assert reader.mode == "mor"
     _assert_state(_final(spark, cfg.table_path), expected_state(log))
+
+
+def test_mor_periodic_compaction_during_stream(spark, tmp_path, log):
+    """compact_every folds versions mid-stream (bounded read
+    amplification on long tails) without disturbing convergence or the
+    exactly-once ledger."""
+    write_segments(log, str(tmp_path / "log"), n_segments=6)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, compact_every=2)
+    replay(spark, cfg, timeout_s=240)
+    _assert_state(_final(spark, cfg.table_path), expected_state(log))
+    man = IceboxSink(spark, cfg.table_path).manifest()
+    assert len(man["applied"]) == len(set(man["applied"]))
+    # version count: 6 applies + 3 compacts
+    assert man["version"] >= 8
