@@ -58,3 +58,35 @@ def read_lineage(spark: SparkSession, table_path: str) -> DataFrame | None:
     if not os.path.isdir(out_dir) or not os.listdir(out_dir):
         return None
     return spark.read.parquet(out_dir)
+
+
+def emit_metrics(table_path: str, progresses: list) -> int:
+    """Persist per-micro-batch engine metrics (BASELINE.json:6,14:
+    "metrics are emitted each micro-batch") from the streaming query's
+    progress events: input rows, processed rows/sec, and the batch
+    duration breakdown (addBatch = sink apply time, triggerExecution =
+    end-to-end). Appended as JSONL under ``_metrics/`` next to the
+    table — greppable on an operator box, loadable as a DataFrame."""
+    import json
+
+    rows = []
+    for p in progresses:
+        if p is None:
+            continue
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        rows.append({
+            "batch_id": d.get("batchId"),
+            "num_input_rows": d.get("numInputRows"),
+            "processed_rows_per_sec": d.get("processedRowsPerSecond"),
+            "duration_ms": d.get("durationMs", {}),
+            "timestamp": d.get("timestamp"),
+        })
+    if not rows:
+        return 0
+    out_dir = os.path.join(table_path, "_metrics")
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = rows[0]["batch_id"] if rows[0]["batch_id"] is not None else 0
+    with open(os.path.join(out_dir, f"progress-{int(stamp):08d}.jsonl"), "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return len(rows)

@@ -77,6 +77,9 @@ def replay(spark: SparkSession, cfg: StreamConfig, timeout_s: float = 600.0) -> 
     try:
         if not q.awaitTermination(timeout_s):
             raise TimeoutError(f"replay did not drain the log in {timeout_s}s")
+        from .lineage import emit_metrics
+
+        emit_metrics(cfg.table_path, list(q.recentProgress))
     finally:
         if q.isActive:
             q.stop()

@@ -135,3 +135,29 @@ def test_batch_vs_streaming_identical(spark, tmp_path, log):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(streamed, batch)
+
+
+def test_metrics_emitted_per_batch(spark, tmp_path, log):
+    """BASELINE.json:6,14: metrics each micro-batch — persisted from the
+    streaming progress events (input rows, rows/sec, duration split)."""
+    import glob
+    import json as _json
+
+    write_segments(log, str(tmp_path / "log"), n_segments=4)
+    cfg = StreamConfig(
+        log_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    replay(spark, cfg, timeout_s=180)
+    files = glob.glob(str(tmp_path / "table" / "_metrics" / "*.jsonl"))
+    assert files
+    recs = [_json.loads(l) for f in files for l in open(f)]
+    assert len(recs) >= 2  # one per micro-batch
+    assert all(r["num_input_rows"] > 0 for r in recs)
+    # numInputRows counts source rows read during the batch; foreachBatch
+    # sinks that trigger multiple actions (evolution scan, stats, write)
+    # re-read the source, so the engine reports a multiple of the log size
+    assert sum(r["num_input_rows"] for r in recs) >= len(log)
+    assert all("addBatch" in r["duration_ms"] for r in recs)
