@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Host-health probe — annotates benchmark runs with the VM's current
+condition so a reader can tell a clean measurement window from a noisy
+one (see BENCH/BASELINE.md "host-noise dossier": this sandbox's
+effective memory bandwidth swings ~60× minute-to-minute and hypervisor
+steal reaches 33% under load).
+
+Measures, in ~8 s:
+- steal/user/sys/idle shares under a brief full-width spin load;
+- aggregate copy bandwidth (np.copyto, read+write GB/s) at 8 procs.
+
+Usage: python bench/host_probe.py  → one JSON line.
+Importable: probe() -> dict (used by run_scaling to tag each repeat).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import time
+
+
+def _cpu_snap() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _spin(stop_t: float) -> None:
+    x = 0
+    while time.time() < stop_t:
+        x += 1
+
+
+def _bw_worker(q, dur: float) -> None:
+    import numpy as np
+
+    a = np.random.rand(20_000_000)
+    b = np.empty_like(a)
+    n = 0
+    t_end = time.time() + dur
+    while time.time() < t_end:
+        np.copyto(b, a)
+        n += 1
+    q.put(n * a.nbytes * 2 / dur / 1e9)
+
+
+def probe(spin_s: float = 3.0, bw_s: float = 3.0, bw_procs: int = 8) -> dict:
+    ncpu = os.cpu_count() or 8
+    stop = time.time() + spin_s
+    procs = [mp.Process(target=_spin, args=(stop,)) for _ in range(ncpu)]
+    [p.start() for p in procs]
+    a = _cpu_snap()
+    time.sleep(max(0.5, spin_s - 0.5))
+    b = _cpu_snap()
+    [p.join() for p in procs]
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    cpu = {k: round(100 * v / tot, 1) for k, v in zip(names, d)}
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_bw_worker, args=(q, bw_s)) for _ in range(bw_procs)]
+    [p.start() for p in ps]
+    bw = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+
+    return {
+        "steal_pct": cpu.get("steal"),
+        "user_pct": cpu.get("user"),
+        "sys_pct": cpu.get("system"),
+        "copy_bw_gbs": round(bw, 1),
+        "bw_procs": bw_procs,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(probe()))
