@@ -599,13 +599,19 @@ def scalar_json(spark, sf_dir):
               len(embedding) AS dim,
               round(list_aggregate(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                                   'sum'), 4) AS sq_norm,
-              round(embedding[1], 4) AS first_val
+                                   'sum') + 1e-9, 4) + 0.0 AS sq_norm,
+              round(CAST(embedding[1] AS DOUBLE) + 1e-9, 4) + 0.0 AS first_val
        FROM embeddings""",
 )
 def scalar_array(spark, sf_dir):
     """Higher-order array functions (transform/aggregate) — the JVM-side
-    vector math primitive used by similarity search (no UDF)."""
+    vector math primitive used by similarity search (no UDF).
+
+    Two float-canonicalization guards applied identically on BOTH
+    sides: +1e-9 before round() nudges values off exact .00005 tie
+    boundaries (Spark HALF_UP vs DuckDB disagree there), and + 0.0
+    after round() collapses IEEE negative zero (round(-8e-6, 4) is
+    -0.0 in DuckDB but +0.0 in Spark; they format differently)."""
     e = load(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -615,6 +621,7 @@ def scalar_array(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(sq, 4).alias("sq_norm"),
-        F.round(F.element_at("embedding", 1), 4).alias("first_val"),
+        (F.round(sq + F.lit(1e-9), 4) + F.lit(0.0)).alias("sq_norm"),
+        (F.round(F.element_at("embedding", 1).cast("double") + F.lit(1e-9), 4)
+         + F.lit(0.0)).alias("first_val"),
     )
