@@ -303,3 +303,21 @@ def gen_transcripts(seed: int, n_convs: int, turns_per_conv: int) -> pd.DataFram
             "ts": pd.Series(ts),
         }
     )
+
+
+def write_segments_json(df: pd.DataFrame, path: str, n_segments: int = 8) -> list[str]:
+    """Write the changelog as JSONL binlog segments (the WAL-tail
+    encoding — SURVEY.md §2.1 CSV/JSONL source row). Timestamps are ISO
+    strings with microseconds; Spark's declared EVENT_SCHEMA parses them
+    back to timestamp[us] so parquet and JSONL logs replay identically."""
+    os.makedirs(path, exist_ok=True)
+    out = df.copy()
+    out["ts"] = pd.to_datetime(out["ts"]).dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    paths = []
+    for i, part in enumerate(np.array_split(np.arange(len(out)), n_segments)):
+        if len(part) == 0:
+            continue
+        p = os.path.join(path, f"segment-{i:06d}.jsonl")
+        out.iloc[part].to_json(p, orient="records", lines=True, date_format="iso")
+        paths.append(p)
+    return paths
