@@ -211,17 +211,20 @@ def dedup_embedding_cosine(spark, sf_dir):
     cross product; at scale the blocking key would be an LSH/IVF
     bucket — see ann_lsh_bucketed). Vector math via zip_with/aggregate,
     JVM-side."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # norms precomputed ONCE per row (O(n·dim)), not per candidate pair
+    # (O(pairs·dim)) — same arithmetic, so the oracle still matches
+    e = e.withColumn("nrm", norm("emb"))
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with("a.emb", "b.emb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    cos = dot / (norm("a.emb") * norm("b.emb"))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cos_raw", cos)

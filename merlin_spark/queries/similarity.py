@@ -18,14 +18,20 @@ K = 10
 N_QUERIES = 5  # vec_id < 5 act as the query set
 
 
-def _cos(a_col: str, b_col: str):
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+
+
+def _cos(a_col: str, b_col: str, a_nrm: str, b_nrm: str):
+    """Cosine from a per-pair dot product and PRE-COMPUTED norms: norms
+    cost O(n·dim) once instead of O(pairs·dim); identical arithmetic to
+    dot/(|a|·|b|) so the DuckDB oracle still matches."""
     dot = F.aggregate(
         F.zip_with(a_col, b_col, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
-    n = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    return dot / (n(a_col) * n(b_col))
+    return dot / (F.col(a_nrm) * F.col(b_nrm))
 
 
 @query(
@@ -48,13 +54,14 @@ def ann_bruteforce_topk(spark, sf_dir):
     corpus is scanned exactly once."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("nrm", _norm("emb"))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos_raw", _cos("q_emb", "emb"))
+        .withColumn("cos_raw", _cos("q_emb", "emb", "q_nrm", "nrm"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -107,14 +114,15 @@ def ann_lsh_bucketed(spark, sf_dir):
         ),
         F.lit(0),
     )
-    eb = e.withColumn("bucket", bucket)
+    eb = e.withColumn("bucket", bucket).withColumn("nrm", _norm("emb"))
     q = eb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"), "bucket",
     )
     cand = eb.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
-        cand.withColumn("cos_raw", _cos("q_emb", "emb"))
+        cand.withColumn("cos_raw", _cos("q_emb", "emb", "q_nrm", "nrm"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= K)
         .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos"), "rn")
