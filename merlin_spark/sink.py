@@ -72,13 +72,21 @@ class IceboxSink:
     """Snapshot-manifest transactional sink (Iceberg-equivalent commits)."""
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16,
-                 salt_buckets: int = 0, mode: str = "cow"):
+                 salt_buckets: int = 0, mode: str = "cow",
+                 epoch: str = "default"):
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
         self.salt_buckets = salt_buckets
+        # checkpoint epoch scoping the exactly-once ledger: Structured
+        # Streaming batch_ids are only unique WITHIN one checkpoint; a
+        # re-tail from a fresh checkpoint restarts at 0 and must NOT be
+        # confused with redelivery. Re-applying across epochs is safe —
+        # the LWW apply is idempotent at the row level — so the ledger
+        # is an exactly-once bookkeeping/skip optimization per epoch.
+        self.epoch = epoch
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         # an existing table's mode is part of its format: adopt it so a
@@ -183,6 +191,9 @@ class IceboxSink:
             ]
         return files
 
+    def _ledger_key(self, batch_id: int) -> str:
+        return f"{self.epoch}:{int(batch_id)}"
+
     def _commit(self, man: dict, new_files: dict[str, list[str]],
                 batch_id: int, lsn_lo, lsn_hi, n_rows: int,
                 append: bool = False) -> dict:
@@ -201,12 +212,14 @@ class IceboxSink:
             "parent": man["version"],
             "batch_id": int(batch_id),
             # maintenance commits (compact) reuse the current batch_id —
-            # never double-record it in the exactly-once ledger
+            # never double-record it in the exactly-once ledger; entries
+            # are epoch-scoped "epoch:batch_id" strings (see __init__)
             "applied": (
                 man.get("applied", [])
-                if int(batch_id) in man.get("applied", [])
-                else man.get("applied", []) + [int(batch_id)]
+                if self._ledger_key(batch_id) in man.get("applied", [])
+                else man.get("applied", []) + [self._ledger_key(batch_id)]
             )[-1000:],
+            "epoch": self.epoch,
             "schema": man["schema"],
             "files": files,
             "mode": self.mode,
@@ -245,8 +258,11 @@ class IceboxSink:
         the previous attempt already committed (BASELINE.json:6).
         """
         man = self.manifest()
-        if batch_id in man.get("applied", []) or batch_id <= man["batch_id"]:
-            return None  # idempotence gate: redelivered batch
+        if self._ledger_key(batch_id) in man.get("applied", []) or (
+            man.get("epoch", self.epoch) == self.epoch
+            and batch_id <= man["batch_id"]
+        ):
+            return None  # idempotence gate: redelivered batch (same epoch)
 
         rows, evo = route_ops(batch_df)
         evolutions = collect_evolutions(evo)
@@ -361,6 +377,35 @@ class IceboxSink:
             stats.append({"_b": int(b), "op": "*", "n": n,
                           "lo": lo or -1, "hi": hi or -1})
         return stats
+
+    # ----------------------------------------------------- time travel
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read the table AS OF an older snapshot (Iceberg
+        `VERSION AS OF` parity). Data files are immutable and manifests
+        append-only, so any un-vacuumed snapshot stays readable."""
+        return self.read(man=self.manifest(version))
+
+    def rollback(self, version: int) -> dict:
+        """Roll the table back to snapshot `version` (Iceberg
+        `rollback_to_snapshot` parity): a NEW commit whose file set,
+        schema, and ledger are copied from the old snapshot — history
+        stays linear and append-only, nothing is deleted."""
+        old = self.manifest(version)
+        cur = self.manifest()
+        new_man = dict(old)
+        new_man["version"] = cur["version"] + 1
+        new_man["parent"] = cur["version"]
+        new_man["rolled_back_to"] = version
+        tmp = os.path.join(self.path, "snapshots",
+                           f".tmp-v{new_man['version']}-{uuid.uuid4().hex[:8]}.json")
+        final = os.path.join(self.path, "snapshots", f"v{new_man['version']}.json")
+        with open(tmp, "w") as f:
+            json.dump(new_man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        return new_man
 
     # ------------------------------------------------------ maintenance
 

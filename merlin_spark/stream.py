@@ -42,8 +42,18 @@ class StreamConfig:
 
 def run_stream(spark: SparkSession, cfg: StreamConfig) -> StreamingQuery:
     """Start the CDC apply stream; caller awaits/stops the query."""
+    import hashlib
+    import os
+
+    # ledger epoch = checkpoint identity: batch_ids are unique only
+    # within one checkpoint; restarts keep the epoch (redelivery gated),
+    # a fresh checkpoint gets a new epoch (batches re-apply — safe,
+    # LWW apply is idempotent). See sink.IceboxSink.__init__.
+    epoch = hashlib.md5(
+        os.path.abspath(cfg.checkpoint_path).encode()
+    ).hexdigest()[:12]
     sink = IceboxSink(spark, cfg.table_path, cfg.n_buckets, cfg.salt_buckets,
-                      mode=cfg.sink_mode)
+                      mode=cfg.sink_mode, epoch=epoch)
     events = read_stream(spark, cfg.log_path, cfg.max_files_per_trigger)
 
     def apply_batch(batch_df, batch_id: int):

@@ -125,3 +125,33 @@ def test_mor_periodic_compaction_during_stream(spark, tmp_path, log):
     assert len(man["applied"]) == len(set(man["applied"]))
     # version count: 6 applies + 3 compacts
     assert man["version"] >= 8
+
+
+def test_time_travel_and_rollback(spark, tmp_path, log):
+    """Iceberg parity: VERSION AS OF reads + rollback_to_snapshot.
+    Immutable files + append-only manifests make old snapshots readable
+    until vacuum; rollback is a new commit copying an old file set."""
+    write_segments(log, str(tmp_path / "log"), n_segments=4)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    replay(spark, cfg, timeout_s=240)
+    sink = IceboxSink(spark, cfg.table_path)
+    v_final = sink.manifest()["version"]
+    assert v_final >= 3
+    # AS OF v0: fewer (or equal) live rows than final, and readable
+    v0_rows = sink.read_version(0).count()
+    final_rows = sink.read().count()
+    assert 0 < v0_rows <= final_rows
+    # rollback to v0: table state equals the v0 read, history linear
+    man = sink.rollback(0)
+    assert man["version"] == v_final + 1 and man["rolled_back_to"] == 0
+    assert sink.read().count() == v0_rows
+    # vacuum now GCs files of the rolled-over snapshots, v0 data survives
+    sink.vacuum()
+    assert sink.read().count() == v0_rows
+    # re-replay from a fresh checkpoint converges again (CDC re-tail)
+    cfg2 = StreamConfig(
+        log_path=cfg.log_path, table_path=cfg.table_path,
+        checkpoint_path=str(tmp_path / "ckpt2"), sink_mode="mor",
+    )
+    replay(spark, cfg2, timeout_s=240)
+    _assert_state(_final(spark, cfg.table_path), expected_state(log))
