@@ -45,6 +45,28 @@ def changelog_scan(spark, sf_dir):
     )
 
 
+@query("binlog_ds_scan")
+def binlog_ds_scan(spark, sf_dir):
+    """LSN-window scan through the custom `merlin_binlog` Python
+    DataSource (Spark 4 pyspark.sql.datasource): segment files pruned
+    by parquet-footer lsn bounds BEFORE task scheduling, Arrow-batch
+    reads. Rows-only driver check (same seeded log as changelog_scan).
+    """
+    from ..binlog_source import register
+    from ..fixtures import ChangelogSpec, gen_changelog, write_segments
+
+    path = os.path.join(tempfile.gettempdir(), "merlin_qk_changelog_s42")
+    if not os.path.isdir(path) or not os.listdir(path):
+        log = gen_changelog(ChangelogSpec(seed=42, n_events=5000, n_convs=50))
+        write_segments(log, path, n_segments=4)
+    register(spark)
+    return (
+        spark.read.format("merlin_binlog").option("path", path)
+        .option("lsn_from", 1000).option("lsn_to", 4000).load()
+        .select("lsn", "op", "conv_id", "turn_idx", "role", "text")
+    )
+
+
 @query(
     "cdc_op_route",
     """SELECT event_id, user_id, event_type, round(value, 4) AS value
