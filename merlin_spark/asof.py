@@ -39,6 +39,7 @@ def asof_join(
     Ties among right rows at identical (by, on) resolve to an arbitrary
     but single row (same caveat as DuckDB ASOF / pd.merge_asof).
     """
+    _check_collisions(left.columns, right_cols)
     if tolerance is not None:
         return asof_join_pandas(left, right, on, by, right_cols, tolerance)
 
@@ -73,6 +74,27 @@ def asof_join(
     )
 
 
+_INTERNAL_COLS = ("_side", "_rv", "_m", "_r_on")
+
+
+def _check_collisions(left_columns: list[str], right_cols: dict[str, str]) -> None:
+    """Internal helper columns and output aliases must not collide with
+    left columns — a silent collision would produce duplicate/ambiguous
+    columns and wrong results instead of a clear error."""
+    clash = set(left_columns) & set(_INTERNAL_COLS)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with internal "
+            f"helper names {_INTERNAL_COLS}; rename them before the join"
+        )
+    alias_clash = set(left_columns) & set(right_cols.values())
+    if alias_clash:
+        raise ValueError(
+            f"asof_join: right_cols aliases {sorted(alias_clash)} already "
+            "exist on the left side; choose distinct output aliases"
+        )
+
+
 def asof_join_pandas(
     left: DataFrame,
     right: DataFrame,
@@ -82,6 +104,7 @@ def asof_join_pandas(
     tolerance: pd.Timedelta | None = None,
 ) -> DataFrame:
     """Cogrouped-pandas formulation (SNIPPETS.md:45-48 pattern)."""
+    _check_collisions(left.columns, right_cols)
     l_cols = left.columns
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]

@@ -60,6 +60,37 @@ def read_lineage(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(out_dir)
 
 
+def make_metrics_listener(table_path: str, query_name: str | None = None):
+    """StreamingQueryListener that persists EVERY progress event as it
+    arrives. ``query.recentProgress`` is capped (last ~100 events by
+    ``spark.sql.streaming.numRecentProgressUpdates``), so a replay with
+    more micro-batches would silently lose the early batches' metrics if
+    they were read once at the end; the listener has no such cap."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        n_events = 0
+
+        def onQueryStarted(self, event):  # noqa: N802 (Spark API)
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            import json
+
+            p = json.loads(event.progress.json)
+            if query_name is not None and p.get("name") != query_name:
+                return
+            _Listener.n_events += emit_metrics(table_path, [p])
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    return _Listener()
+
+
 def emit_metrics(table_path: str, progresses: list) -> int:
     """Persist per-micro-batch engine metrics (BASELINE.json:6,14:
     "metrics are emitted each micro-batch") from the streaming query's

@@ -375,7 +375,10 @@ class IceboxSink:
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
             stats.append({"_b": int(b), "op": "*", "n": n,
-                          "lo": lo or -1, "hi": hi or -1})
+                          # `lo or -1` would map a legitimate lsn stat
+                          # of 0 to -1 (0 is falsy) — test None explicitly
+                          "lo": -1 if lo is None else lo,
+                          "hi": -1 if hi is None else hi})
         return stats
 
     # ----------------------------------------------------- time travel
@@ -422,6 +425,12 @@ class IceboxSink:
             df = df.where(F.col(SYSTEM_OP) != "D")
         all_buckets = [int(b) for b in man["files"]]
         new_files = self._write_buckets(df, all_buckets or [0])
+        # a bucket whose rows all vanished (e.g. drop_tombstones on a
+        # fully-tombstoned bucket) writes no output dir — it still needs
+        # an (empty) manifest entry or its OLD files stay referenced and
+        # survive the very compaction meant to GC them
+        for b in all_buckets:
+            new_files.setdefault(str(b), [])
         return self._commit(man, new_files, man["batch_id"], None, man.get("lsn_hi"),
                             man.get("total_rows", 0))
 

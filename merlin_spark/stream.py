@@ -40,18 +40,37 @@ class StreamConfig:
     fail_after_batch: int | None = None  # test hook: crash injection
 
 
+def _checkpoint_epoch(checkpoint_path: str) -> str:
+    """Ledger epoch = identity of THIS checkpoint *instance*, persisted
+    as a marker file inside the checkpoint directory. Batch_ids are
+    unique only within one checkpoint instance: restarts find the marker
+    and reuse the epoch (redelivered batch_ids stay gated), while
+    deleting and recreating the checkpoint — even at the SAME path, the
+    common re-tail workflow — loses the marker and mints a new epoch, so
+    the fresh run's batch 0..j is never mistaken for redelivery of the
+    old run's. (A path-derived epoch would silently drop those batches.)
+    """
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_path, exist_ok=True)
+    marker = os.path.join(checkpoint_path, "_merlin_epoch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip()
+    epoch = uuid.uuid4().hex[:12]
+    tmp = f"{marker}.tmp-{epoch}"
+    with open(tmp, "w") as f:
+        f.write(epoch)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, marker)  # atomic: concurrent starters agree on one epoch
+    return epoch
+
+
 def run_stream(spark: SparkSession, cfg: StreamConfig) -> StreamingQuery:
     """Start the CDC apply stream; caller awaits/stops the query."""
-    import hashlib
-    import os
-
-    # ledger epoch = checkpoint identity: batch_ids are unique only
-    # within one checkpoint; restarts keep the epoch (redelivery gated),
-    # a fresh checkpoint gets a new epoch (batches re-apply — safe,
-    # LWW apply is idempotent). See sink.IceboxSink.__init__.
-    epoch = hashlib.md5(
-        os.path.abspath(cfg.checkpoint_path).encode()
-    ).hexdigest()[:12]
+    epoch = _checkpoint_epoch(cfg.checkpoint_path)
     sink = IceboxSink(spark, cfg.table_path, cfg.n_buckets, cfg.salt_buckets,
                       mode=cfg.sink_mode, epoch=epoch)
     events = read_stream(spark, cfg.log_path, cfg.max_files_per_trigger)
@@ -83,13 +102,27 @@ def replay(spark: SparkSession, cfg: StreamConfig, timeout_s: float = 600.0) -> 
     """Bounded replay to convergence: drain whatever is in the log,
     then stop. Crash-resumable: rerun with the same checkpoint/table
     paths and it continues from the failed batch."""
+    from .lineage import make_metrics_listener
+
+    # per-micro-batch metrics via listener (uncapped), not
+    # q.recentProgress (capped at ~100 events — long replays would
+    # silently lose the early batches)
+    listener = make_metrics_listener(cfg.table_path, "merlin-cdc-apply")
+    spark.streams.addListener(listener)
     q = run_stream(spark, cfg)
     try:
         if not q.awaitTermination(timeout_s):
             raise TimeoutError(f"replay did not drain the log in {timeout_s}s")
-        from .lineage import emit_metrics
+        # listener events arrive on a separate dispatch thread: drain
+        # until the count is stable so the final batch's metrics land
+        import time
 
-        emit_metrics(cfg.table_path, list(q.recentProgress))
+        seen, stable_since = -1, time.monotonic()
+        while time.monotonic() - stable_since < 0.5:
+            if listener.n_events != seen:
+                seen, stable_since = listener.n_events, time.monotonic()
+            time.sleep(0.05)
     finally:
         if q.isActive:
             q.stop()
+        spark.streams.removeListener(listener)

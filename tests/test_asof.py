@@ -45,6 +45,21 @@ def test_window_formulation_is_python_free(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "FlatMapCoGroups" not in plan
 
 
+def test_collision_with_internal_or_alias_names_raises(spark, sf_dir):
+    """Helper columns (_side/_rv/_m) and output aliases colliding with
+    left columns must raise clearly, not silently produce duplicate /
+    ambiguous columns (ADVICE round 1)."""
+    import pytest
+
+    purchases, views = _sides(spark, sf_dir)
+    with pytest.raises(ValueError, match="internal helper"):
+        asof_join(purchases.withColumn("_side", F.lit(1)), views,
+                  on="ts", by="user_id", right_cols={"ts": "last_view_ts"})
+    with pytest.raises(ValueError, match="aliases"):
+        asof_join(purchases, views, on="ts", by="user_id",
+                  right_cols={"ts": "event_id"})  # alias exists on left
+
+
 def test_tolerance_bounds_lookback(spark, sf_dir):
     purchases, views = _sides(spark, sf_dir)
     tol = asof_join(purchases, views, on="ts", by="user_id",

@@ -96,6 +96,61 @@ def test_duplicate_segments_idempotent(spark, tmp_path, log):
     _assert_state(_final(spark, cfg.table_path), _expected(log))
 
 
+def test_fresh_checkpoint_same_path_applies_new_events(spark, tmp_path, log):
+    """rm -rf checkpoint + re-tail at the SAME path (the common re-tail
+    workflow) must not be mistaken for redelivery. The ledger epoch is a
+    marker file INSIDE the checkpoint dir: deleting the checkpoint
+    rotates the epoch, so the fresh run's batch 0 — which replays the
+    whole log in one batch, id far below the old high-water — re-applies
+    instead of being silently skipped (which would permanently drop any
+    NEW events it contains)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from merlin_spark.fixtures import _event_arrow_schema
+
+    seg_dir = str(tmp_path / "log")
+    write_segments(log, seg_dir, n_segments=4)
+    cfg = StreamConfig(
+        log_path=seg_dir,
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # first run: 4 batches, high-water id 3
+    )
+    replay(spark, cfg, timeout_s=180)
+
+    # a late segment arrives with one brand-new event
+    upd = pd.DataFrame(
+        {
+            "lsn": pd.array([int(log["lsn"].max()) + 1], dtype="int64"),
+            "op": ["U"],
+            "conv_id": ["convFRESH"],
+            "turn_idx": pd.array([0], dtype="Int32"),
+            "role": ["user"],
+            "text": ["fresh epoch row"],
+            "tool": [None],
+            "ts": [pd.Timestamp("2025-02-01")],
+            "evo_column": [None],
+            "evo_type": [None],
+            "extra": [None],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(upd, schema=_event_arrow_schema(), preserve_index=False),
+        os.path.join(seg_dir, "segment-900000.parquet"),
+    )
+    # operator re-tails from a FRESH checkpoint at the same path; the
+    # whole log drains as ONE batch (batch_id=0 < old high-water 3)
+    shutil.rmtree(cfg.checkpoint_path)
+    cfg.max_files_per_trigger = None
+    replay(spark, cfg, timeout_s=180)
+    got = _final(spark, cfg.table_path)
+    assert "convFRESH" in set(got["conv_id"].tolist())
+    _assert_state(got, _expected(pd.concat([log, upd], ignore_index=True)))
+
+
 def test_rerun_after_completion_is_noop(spark, tmp_path, log):
     write_segments(log, str(tmp_path / "log"), n_segments=3)
     cfg = StreamConfig(
@@ -154,7 +209,11 @@ def test_metrics_emitted_per_batch(spark, tmp_path, log):
     files = glob.glob(str(tmp_path / "table" / "_metrics" / "*.jsonl"))
     assert files
     recs = [_json.loads(l) for f in files for l in open(f)]
-    assert len(recs) >= 2  # one per micro-batch
+    # exactly one record per applied micro-batch: the listener is
+    # uncapped (recentProgress keeps only ~100 events — a long replay
+    # would lose early batches if metrics were read once at the end)
+    n_batches = IceboxSink(spark, cfg.table_path).manifest()["batch_id"] + 1
+    assert len(recs) == n_batches >= 2
     assert all(r["num_input_rows"] > 0 for r in recs)
     # numInputRows counts source rows read during the batch; foreachBatch
     # sinks that trigger multiple actions (evolution scan, stats, write)

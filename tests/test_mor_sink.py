@@ -90,6 +90,46 @@ def test_mor_compaction_preserves_state_and_folds_files(spark, tmp_path, log):
     pd.testing.assert_frame_equal(_final(spark, cfg.table_path), after)
 
 
+def test_compact_drop_tombstones_gcs_fully_tombstoned_bucket(spark, tmp_path):
+    """A bucket whose rows are ALL tombstones must leave
+    compact(drop_tombstones=True) with an EMPTY manifest entry so vacuum
+    can GC its files — regression: a vanished bucket wrote no output dir
+    and its old files silently stayed referenced, surviving the very
+    compaction meant to remove them."""
+    from merlin_spark.schemas import EVENT_SCHEMA
+
+    sink = IceboxSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+
+    def events(op, lsn0, ts):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "lsn": pd.array(range(lsn0, lsn0 + 5), dtype="int64"),
+                    "op": [op] * 5,
+                    "conv_id": ["convONLY"] * 5,
+                    "turn_idx": pd.array(range(5), dtype="Int32"),
+                    "role": [None if op == "D" else "user"] * 5,
+                    "text": [None if op == "D" else "hello"] * 5,
+                    "tool": [None] * 5,
+                    "ts": [pd.Timestamp(ts)] * 5,
+                    "evo_column": [None] * 5,
+                    "evo_type": [None] * 5,
+                    "extra": [None] * 5,
+                }
+            ),
+            EVENT_SCHEMA,
+        )
+
+    sink.apply(events("I", 1, "2025-01-01"), 0)
+    sink.apply(events("D", 100, "2025-01-02"), 1)  # tombstone every key
+    assert sink.read().count() == 5  # tombstones retained pre-compaction
+    sink.compact(drop_tombstones=True)
+    man = sink.manifest()
+    assert all(fl == [] for fl in man["files"].values())
+    assert sink.read().count() == 0
+    assert sink.vacuum() > 0  # the old files are now unreferenced → GC'd
+
+
 def test_mor_crash_resume(spark, tmp_path, log):
     write_segments(log, str(tmp_path / "log"), n_segments=4)
     cfg = _cfg(tmp_path, max_files_per_trigger=1, fail_after_batch=1)
