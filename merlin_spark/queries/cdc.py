@@ -25,40 +25,66 @@ from .registry import query
 # LWW key/order stand-ins on the events table: key=(user_id, event_type),
 # order=(ts, event_id) — event_id unique like lsn.
 
+_QK_LOG_PATH = os.path.join(tempfile.gettempdir(), "merlin_qk_changelog_s42")
 
-@query("changelog_scan")
+
+def _ensure_qk_log() -> str:
+    """Seeded deterministic changelog fixture shared by the changelog /
+    binlog scan qkeys AND their DuckDB oracles (the oracle SQL
+    read_parquet()s the same segment files — driver hash check becomes
+    exact instead of rows-only). Built atomically: write to a unique
+    temp dir, rename into place (concurrent builders agree — content is
+    deterministic)."""
+    if not os.path.isdir(_QK_LOG_PATH) or not os.listdir(_QK_LOG_PATH):
+        from ..fixtures import ChangelogSpec, gen_changelog, write_segments
+
+        log = gen_changelog(ChangelogSpec(seed=42, n_events=5000, n_convs=50))
+        stage = tempfile.mkdtemp(prefix="merlin_qk_stage_")
+        write_segments(log, stage, n_segments=4)
+        try:
+            os.rename(stage, _QK_LOG_PATH)
+        except OSError:  # lost the race: another process renamed first
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return _QK_LOG_PATH
+
+
+# the fixture must exist whenever the ORACLE side runs too (the driver
+# may evaluate either side first) — build it at registry-import time
+_ensure_qk_log()
+
+_CHANGELOG_ORACLE = f"""
+SELECT lsn, op, conv_id, turn_idx, role, text
+FROM read_parquet('{_QK_LOG_PATH}/*.parquet')
+WHERE lsn BETWEEN 1000 AND 4000
+"""
+
+
+@query("changelog_scan", _CHANGELOG_ORACLE)
 def changelog_scan(spark, sf_dir):
     """Bounded LSN-range scan of a binlog directory (SURVEY.md §2.1 qkey
     ``changelog_scan``): seeded synthetic segments (no external data),
     declared EVENT_SCHEMA, `lsn BETWEEN` pushed into the parquet scan
-    (row-group pruning at 10^10-event scale). Rows-only driver check —
-    the changelog is not one of the ten DuckDB oracle views."""
+    (row-group pruning at 10^10-event scale). Oracle: DuckDB
+    read_parquet over the same seeded segment files."""
     from ..changelog import read_batch
-    from ..fixtures import ChangelogSpec, gen_changelog, write_segments
 
-    path = os.path.join(tempfile.gettempdir(), "merlin_qk_changelog_s42")
-    if not os.path.isdir(path) or not os.listdir(path):
-        log = gen_changelog(ChangelogSpec(seed=42, n_events=5000, n_convs=50))
-        write_segments(log, path, n_segments=4)  # deterministic: safe to reuse
-    return read_batch(spark, path, lsn_from=1000, lsn_to=4000).select(
+    return read_batch(spark, _ensure_qk_log(), lsn_from=1000, lsn_to=4000).select(
         "lsn", "op", "conv_id", "turn_idx", "role", "text"
     )
 
 
-@query("binlog_ds_scan")
+@query("binlog_ds_scan", _CHANGELOG_ORACLE)
 def binlog_ds_scan(spark, sf_dir):
     """LSN-window scan through the custom `merlin_binlog` Python
     DataSource (Spark 4 pyspark.sql.datasource): segment files pruned
     by parquet-footer lsn bounds BEFORE task scheduling, Arrow-batch
-    reads. Rows-only driver check (same seeded log as changelog_scan).
-    """
+    reads. Same seeded log and DuckDB oracle as changelog_scan — the
+    custom DataSource must be value-identical to the plain scan."""
     from ..binlog_source import register
-    from ..fixtures import ChangelogSpec, gen_changelog, write_segments
 
-    path = os.path.join(tempfile.gettempdir(), "merlin_qk_changelog_s42")
-    if not os.path.isdir(path) or not os.listdir(path):
-        log = gen_changelog(ChangelogSpec(seed=42, n_events=5000, n_convs=50))
-        write_segments(log, path, n_segments=4)
+    path = _ensure_qk_log()
     register(spark)
     return (
         spark.read.format("merlin_binlog").option("path", path)
@@ -234,14 +260,23 @@ def lineage_op_counts(spark, sf_dir):
     )
 
 
-@query("udtf_parse_wal")
+@query(
+    "udtf_parse_wal",
+    """SELECT event_id AS lsn,
+              'I' AS op,
+              user_id::VARCHAR AS conv_id,
+              (event_id % 40)::INTEGER AS turn_idx,
+              event_type AS payload
+       FROM events""",
+)
 def udtf_parse_wal(spark, sf_dir):
     """Python UDTF (Spark 4) exploding raw text WAL lines into typed
     change events — the SURVEY.md §2.9 stretch row. Demo/tooling path
     only: UDTF eval is per-row Python, so the production changelog
     sources stay parquet/JSONL with declared schemas (changelog.py);
-    this exists to cover the 'raw WAL tail' ingestion shape. Rows-only
-    driver check."""
+    this exists to cover the 'raw WAL tail' ingestion shape. The
+    encode→parse round trip is pure string algebra over `events`, so the
+    oracle reimplements it directly in SQL (hash-checked)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="lsn bigint, op string, conv_id string, turn_idx int, payload string")

@@ -36,48 +36,79 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+# document-frequency ceiling for Jaccard candidate generation: tokens
+# appearing in more than DF_MAX docs are skipped as PAIR GENERATORS (a
+# stop-word's posting list would pair quadratically — one token in 10^6
+# docs = 5·10^11 pairs). They still count in the exact verification, so
+# reported Jaccard values are exact; only pairs sharing NOTHING but
+# hot tokens are missed — and two docs made purely of stop-words are
+# noise, not near-duplicates (standard posting-list/prefix-filter cap).
+JACCARD_DF_MAX = 64
+
+
 @query(
     "dedup_jaccard_pairs",
-    """WITH tok AS (
+    f"""WITH tok AS (
          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
          FROM documents WHERE n_chars < 200
        ),
        sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       rare AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= {JACCARD_DF_MAX}),
+       rtok AS (SELECT tok.doc_id, tok.w FROM tok JOIN rare USING (w)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rtok a JOIN rtok b ON a.w = b.w AND a.doc_id < b.doc_id
+       ),
        common AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-         GROUP BY a.doc_id, b.doc_id
+         SELECT cand.doc_a, cand.doc_b, count(*) AS n_common
+         FROM cand
+         JOIN tok ta ON ta.doc_id = cand.doc_a
+         JOIN tok tb ON tb.doc_id = cand.doc_b AND tb.w = ta.w
+         GROUP BY cand.doc_a, cand.doc_b
        )
        SELECT doc_a, doc_b,
-              round(c / (sa.sz + sb.sz - c), 4) AS jaccard
+              round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
        FROM common
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
-       WHERE c / (sa.sz + sb.sz - c) >= 0.5""",
+       WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5""",
 )
 def dedup_jaccard_pairs(spark, sf_dir):
-    """Exact token-set Jaccard via inverted index: explode distinct
-    tokens → self-equi-join on token → count common → Jaccard ≥ 0.5.
-    The join is on the token (equi), so only docs SHARING a token are
-    paired — at scale this is the posting-list pattern, not n².
+    """Exact token-set Jaccard via inverted index with a
+    document-frequency cap: candidate pairs come only from tokens whose
+    posting list is ≤ JACCARD_DF_MAX docs (hot tokens would pair
+    quadratically); candidates are then verified EXACTLY against the
+    full token sets, so every reported Jaccard is the true value.
+    Three linear passes + token-hash shuffles — never n² in the corpus,
+    and never quadratic in a stop-word's posting list.
     (Restricted to short docs to keep the pair space tiny at sf0.1.)"""
     d = load(spark, sf_dir, "documents").where(F.col("n_chars") < 200)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    common = (
+    rare = tok.groupBy("w").agg(F.count("*").alias("df")).where(
+        F.col("df") <= JACCARD_DF_MAX
+    ).select("w")
+    rtok = tok.join(rare, "w")
+    a = rtok.alias("a")
+    b = rtok.alias("b")
+    cand = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("c"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    common = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("tb.w") == F.col("ta.w")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
+    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
     return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
