@@ -15,11 +15,13 @@ The binlog abstraction is LSN-addressed, not file-addressed:
   checkpoints. `readBetweenOffsets` replays any historical LSN window.
 
 Partition = one segment file; `read()` yields pyarrow RecordBatches
-(zero row-at-a-time Python on the data path, BASELINE.json:15).
-
-The streaming half uses the Simple stream-reader API (driver-side
-fetch): right for control-plane-sized tails and tests; the bulk replay
-path remains `changelog.read_stream` (executor-parallel file source).
+(zero row-at-a-time Python on the data path, BASELINE.json:15). This
+holds for BOTH halves: the streaming reader is the partitioned
+`DataSourceStreamReader` — the driver only plans (footer-stat segment
+pruning + LSN windows); data moves as Arrow batches on EXECUTORS, one
+task per overlapping segment, so a 10^10-event tail never funnels rows
+through the driver. `option("max_lsn_per_trigger", N)` caps how far the
+offset advances per micro-batch (admission control for replay).
 
 Usage:
     spark.dataSource.register(BinlogDataSource)
@@ -31,13 +33,12 @@ Usage:
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 EVENT_DDL = (
@@ -114,48 +115,92 @@ class BinlogBatchReader(DataSourceReader):
         return iter(table.to_batches())
 
 
-class BinlogStreamReader(SimpleDataSourceStreamReader):
-    """LSN-offset streaming tail: offset dict = {"lsn": high_water}."""
+class _StreamSlicePartition(InputPartition):
+    """One segment file × one (lo_excl, hi_incl] LSN window."""
+
+    def __init__(self, fp: str, lo_excl: int, hi_incl: int):
+        self.fp = fp
+        self.lo_excl = lo_excl
+        self.hi_incl = hi_incl
+
+
+class BinlogStreamReader(DataSourceStreamReader):
+    """Partitioned LSN-offset streaming tail.
+
+    Offset dict = {"lsn": high_water}: the checkpoint stores binlog
+    POSITIONS, so the stream resumes from an arbitrary LSN (WAL-tail /
+    Debezium checkpoint model). Per micro-batch the driver touches only
+    parquet FOOTERS (segment lsn bounds) to plan; each overlapping
+    segment becomes one executor task that reads Arrow batches and
+    filters to the (start, end] window — no data ever crosses the
+    driver. Re-emitted duplicates of already-delivered lsns land below
+    the window and are dropped at the source (first layer of the
+    exactly-once story; the sink LWW/ledger handles the rest).
+
+    ``max_lsn_per_trigger`` bounds offset advancement per micro-batch
+    (admission control so a cold replay of a huge log proceeds in
+    bounded batches instead of one giant one).
+    """
 
     def __init__(self, options):
         self.path = options["path"]
+        cap = int(options.get("max_lsn_per_trigger", 0) or 0)
+        self.max_lsn_per_trigger = cap if cap > 0 else None
+        # Driver-side planning position for rate limiting. The engine
+        # calls latestOffset BEFORE initialOffset/partitions, so a new
+        # reader has no way to learn the checkpointed position first —
+        # the cap therefore counts from 0. Fresh starts are exact (the
+        # start offset IS 0). After a RESTART with a cap configured,
+        # the first capped windows may re-cover already-committed lsns
+        # while _prev climbs back to the checkpoint position; that is
+        # bounded redelivery, absorbed by the engine's idempotent LWW
+        # sink (and the uncapped default has no such phase at all).
+        self._prev: int | None = None
 
     def initialOffset(self) -> dict:
+        self._prev = 0
         return {"lsn": 0}
 
-    def _rows_between(self, lo_excl: int, hi_incl: int | None) -> list[tuple]:
-        # returns a LIST (not a generator): the Simple stream-reader
-        # runner caches and copy.copy()s the iterator it receives, and
-        # generators are not copyable
+    def latestOffset(self) -> dict:
+        hi = 0
+        for fp in _segments(self.path):
+            hi = max(hi, _lsn_range(fp)[1])
+        if self.max_lsn_per_trigger is not None:
+            hi = min(hi, (self._prev or 0) + self.max_lsn_per_trigger)
+        self._prev = max(hi, self._prev or 0)
+        return {"lsn": self._prev}
+
+    def partitions(self, start: dict, end: dict):
+        lo = int(start.get("lsn", 0))
+        hi = int(end.get("lsn", 0))
+        # rate-limit bookkeeping across restarts: a fresh reader learns
+        # the real position from the engine's first planned range
+        self._prev = max(self._prev or 0, hi)
+        parts = [
+            _StreamSlicePartition(fp, lo, hi)
+            for fp in _segments(self.path)
+            for flo, fhi in (_lsn_range(fp),)
+            if fhi > lo and flo <= hi
+        ]
+        return parts or [_StreamSlicePartition("", 0, 0)]
+
+    def read(self, partition: _StreamSlicePartition):
+        # executor-side: Arrow batches only, no per-row Python
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        rows: list[tuple] = []
-        for fp in _segments(self.path):
-            flo, fhi = _lsn_range(fp)
-            if fhi <= lo_excl or (hi_incl is not None and flo > hi_incl):
-                continue
-            t = pq.read_table(fp, columns=_COLS)
-            t = t.filter(pc.field("lsn") > lo_excl)
-            if hi_incl is not None:
-                t = t.filter(pc.field("lsn") <= hi_incl)
-            rows.extend(tuple(r[c] for c in _COLS) for r in t.to_pylist())
-        return rows
-
-    def read(self, start: dict):
-        lo = int(start.get("lsn", 0))
-        hi = lo
-        for fp in _segments(self.path):
-            hi = max(hi, _lsn_range(fp)[1])
-        if hi <= lo:
-            return iter([]), {"lsn": lo}
-        return iter(self._rows_between(lo, hi)), {"lsn": hi}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows_between(int(start.get("lsn", 0)), int(end["lsn"])))
+        if not partition.fp:
+            return iter(())
+        t = pq.read_table(partition.fp, columns=_COLS)
+        t = t.filter(
+            (pc.field("lsn") > partition.lo_excl)
+            & (pc.field("lsn") <= partition.hi_incl)
+        )
+        return iter(t.to_batches())
 
     def commit(self, end: dict) -> None:
-        pass  # source is an immutable log; nothing to ack
+        # immutable log: nothing to ack; keep the rate-limit position
+        self._prev = max(self._prev or 0, int(end.get("lsn", 0)))
 
 
 class BinlogDataSource(DataSource):
@@ -169,7 +214,7 @@ class BinlogDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return BinlogBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         return BinlogStreamReader(self.options)
 
 
