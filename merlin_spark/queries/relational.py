@@ -118,6 +118,35 @@ def join_smj_orders_lineitem(spark, sf_dir):
 
 
 @query(
+    "join_shuffle_hash",
+    """SELECT l.l_orderkey,
+              round(sum(l.l_extendedprice), 4) AS gross,
+              max(o.o_orderdate) AS last_orderdate
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_totalprice > 150000
+       GROUP BY l.l_orderkey""",
+)
+def join_shuffle_hash(spark, sf_dir):
+    """Shuffled hash join (SURVEY.md §2.3): both sides exchange on the
+    key, the smaller side builds a per-partition hash table — no sort
+    of either side (vs SMJ). The right strategy at scale for big×medium
+    joins whose per-partition build side fits executor memory. Strategy
+    forced with hint("shuffle_hash") on the filtered (smaller) side;
+    semantics are strategy-independent, so the oracle is plain SQL. The
+    plan assertion lives in tests/test_plans.py."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("gross"),
+            F.max("o_orderdate").alias("last_orderdate"),
+        )
+    )
+
+
+@query(
     "join_semi",
     """SELECT o_orderkey, o_totalprice FROM orders o
        WHERE EXISTS (SELECT 1 FROM lineitem l

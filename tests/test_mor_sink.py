@@ -167,6 +167,30 @@ def test_mor_periodic_compaction_during_stream(spark, tmp_path, log):
     assert man["version"] >= 8
 
 
+def test_mor_read_amplification_bounded_by_compaction(spark, tmp_path, log):
+    """Quantified read-amplification bound on a long tail: with
+    compact_every=C the file-version count per bucket never exceeds
+    C + 1 at ANY snapshot in the table's history (one compacted file-set
+    plus at most C appended version files before the next fold). Without
+    the bound a 10^6-batch tail would accumulate 10^6 versions per
+    bucket and reads would die re-resolving LWW over all of them."""
+    write_segments(log, str(tmp_path / "log"), n_segments=12)
+    C = 3
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, compact_every=C)
+    replay(spark, cfg, timeout_s=300)
+    sink = IceboxSink(spark, cfg.table_path)
+    worst = 0
+    for v in range(sink.current_version() + 1):
+        man = sink.manifest(v)
+        if man["files"]:
+            worst = max(worst, max(len(fl) for fl in man["files"].values()))
+    assert worst <= C + 1
+    # final snapshot is freshly compacted (12 applies, compact every 3)
+    final = sink.manifest()
+    assert max(len(fl) for fl in final["files"].values()) == 1
+    _assert_state(_final(spark, cfg.table_path), expected_state(log))
+
+
 def test_time_travel_and_rollback(spark, tmp_path, log):
     """Iceberg parity: VERSION AS OF reads + rollback_to_snapshot.
     Immutable files + append-only manifests make old snapshots readable

@@ -57,6 +57,14 @@ def test_lww_maxby_has_partial_aggregate(spark):
     assert "Exchange hashpartitioning(conv_id" in p
 
 
+def test_shuffled_hash_join_planned(spark, sf_dir):
+    """The shuffle_hash hint must actually plan a ShuffledHashJoin (not
+    SMJ, not broadcast) — SURVEY.md §2.3 evidence row."""
+    p = _plan(registry.QUERIES["join_shuffle_hash"](spark, sf_dir))
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_semi_join_stays_semi(spark, sf_dir):
     p = _plan(registry.QUERIES["join_semi"](spark, sf_dir))
     assert "LeftSemi" in p
