@@ -68,6 +68,31 @@ def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot version first
+    (optimistic concurrency, Iceberg-style): the caller must re-read the
+    table state and retry or abort."""
+
+
+def _atomic_publish(tmp: str, final: str) -> None:
+    """Publish a manifest EXCLUSIVELY: os.link fails with EEXIST if the
+    target version was already committed by a concurrent writer (a plain
+    rename would silently clobber their commit — lost update). The tmp
+    file is always cleaned up."""
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        raise CommitConflictError(
+            f"snapshot {os.path.basename(final)} already committed by a "
+            "concurrent writer"
+        ) from e
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+
 class IceboxSink:
     """Snapshot-manifest transactional sink (Iceberg-equivalent commits)."""
 
@@ -234,7 +259,7 @@ class IceboxSink:
             json.dump(new_man, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)
+        _atomic_publish(tmp, final)  # raises CommitConflictError if taken
         return new_man
 
     # ---------------------------------------------------------- evolve
@@ -276,7 +301,7 @@ class IceboxSink:
         winners = prepare_batch(rows, evolved_now, self.salt_buckets)
 
         if self.mode == "mor":
-            return self._apply_mor(man, winners, batch_id)
+            return self._apply_mor(man, winners, batch_id, evolutions)
 
         # cow: stats pass (also caches `winners` for the merge): touched
         # buckets + lsn range + op counts in ONE tiny aggregate. The
@@ -315,7 +340,8 @@ class IceboxSink:
         )
         return new_man
 
-    def _apply_mor(self, man: dict, winners: DataFrame, batch_id: int) -> dict:
+    def _apply_mor(self, man: dict, winners: DataFrame, batch_id: int,
+                   evolutions: list[tuple[str, str]] | None = None) -> dict:
         """Merge-on-read apply: ONE pass over the batch.
 
         The winners pipeline (normalize UDF → LWW shuffle) executes
@@ -324,6 +350,15 @@ class IceboxSink:
         executor storage-memory spike at large batch sizes). Per-bucket
         lineage stats come from the written parquet footers — free
         metadata reads, the same trick Iceberg manifests use.
+
+        Optimistic concurrency: mor commits only APPEND file versions,
+        so losing the race for snapshot v{N} is resolved by rebasing —
+        re-read the current manifest (re-applying this batch's schema
+        evolutions) and re-attach the already-written files to the new
+        parent. Mirrors Iceberg's fast-append commit retry. (The cow
+        path must NOT blind-retry: its rewrite was computed against a
+        stale file set — the conflict propagates and Structured
+        Streaming re-executes the batch from the new state.)
         """
         from pyspark.sql import Observation
 
@@ -341,14 +376,27 @@ class IceboxSink:
         )
         got = obs.get
         if not got["n"]:
-            # still commit (advances the ledger) so replay skips this batch
-            return self._commit(man, {}, batch_id, None, None,
-                                man.get("total_rows", 0), append=True)
-        stats = self._footer_stats(new_files)
-        new_man = self._commit(man, new_files, batch_id, got["lo"], got["hi"],
-                               int(got["n"]), append=True)
-        emit_lineage(self.spark, self.path, batch_id, new_man["version"],
-                     stats, got["lo"], got["hi"])
+            new_files = {}
+        stats = self._footer_stats(new_files) if new_files else []
+        lo = got["lo"] if new_files else None
+        hi = got["hi"] if new_files else None
+        n_rows = int(got["n"]) if new_files else man.get("total_rows", 0)
+        for _attempt in range(10):
+            try:
+                new_man = self._commit(man, new_files, batch_id, lo, hi,
+                                       n_rows, append=True)
+                break
+            except CommitConflictError:
+                man = self._evolve(self.manifest(), evolutions or [])
+                if self._ledger_key(batch_id) in man.get("applied", []):
+                    return None  # a same-epoch twin already applied it
+        else:
+            raise CommitConflictError(
+                f"batch {batch_id}: lost the commit race 10 times"
+            )
+        if new_files:
+            emit_lineage(self.spark, self.path, batch_id, new_man["version"],
+                         stats, lo, hi)
         return new_man
 
     def _footer_stats(self, files: dict[str, list[str]]) -> list[dict]:
@@ -407,7 +455,7 @@ class IceboxSink:
             json.dump(new_man, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)
+        _atomic_publish(tmp, final)
         return new_man
 
     # ------------------------------------------------------ maintenance
@@ -433,6 +481,26 @@ class IceboxSink:
             new_files.setdefault(str(b), [])
         return self._commit(man, new_files, man["batch_id"], None, man.get("lsn_hi"),
                             man.get("total_rows", 0))
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Delete all but the newest ``keep_last`` snapshot manifests
+        (Iceberg ``expire_snapshots`` parity): bounds ``snapshots/``
+        growth on long tails and ends time travel for the expired
+        versions. Data files are untouched — run :meth:`vacuum`
+        afterwards to GC the ones no longer referenced by the latest
+        snapshot. The current snapshot is never expired."""
+        keep_last = max(1, keep_last)
+        snap_dir = os.path.join(self.path, "snapshots")
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        removed = 0
+        for v in versions[:-keep_last]:
+            os.remove(os.path.join(snap_dir, f"v{v}.json"))
+            removed += 1
+        return removed
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the latest snapshot."""

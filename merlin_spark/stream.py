@@ -38,6 +38,13 @@ class StreamConfig:
     max_files_per_trigger: int | None = None
     processing_time: str | None = None  # None → availableNow (bounded replay)
     fail_after_batch: int | None = None  # test hook: crash injection
+    # "files" → Structured Streaming file source (file-name offsets);
+    # "binlog" → the custom merlin_binlog DataSource: checkpoint offsets
+    # are LSN POSITIONS ({"lsn": N}), executor-parallel Arrow reads with
+    # footer-stat segment planning — the WAL/Debezium checkpoint model
+    # (BASELINE.json:6 "LSN/offset checkpoint store") end-to-end.
+    source_format: str = "files"
+    max_lsn_per_trigger: int | None = None  # binlog admission control
 
 
 def _checkpoint_epoch(checkpoint_path: str) -> str:
@@ -73,7 +80,18 @@ def run_stream(spark: SparkSession, cfg: StreamConfig) -> StreamingQuery:
     epoch = _checkpoint_epoch(cfg.checkpoint_path)
     sink = IceboxSink(spark, cfg.table_path, cfg.n_buckets, cfg.salt_buckets,
                       mode=cfg.sink_mode, epoch=epoch)
-    events = read_stream(spark, cfg.log_path, cfg.max_files_per_trigger)
+    if cfg.source_format == "binlog":
+        from .binlog_source import register
+
+        register(spark)
+        reader = spark.readStream.format("merlin_binlog").option(
+            "path", cfg.log_path
+        )
+        if cfg.max_lsn_per_trigger:
+            reader = reader.option("max_lsn_per_trigger", cfg.max_lsn_per_trigger)
+        events = reader.load()
+    else:
+        events = read_stream(spark, cfg.log_path, cfg.max_files_per_trigger)
 
     def apply_batch(batch_df, batch_id: int):
         sink.apply(batch_df, batch_id)

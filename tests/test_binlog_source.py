@@ -119,6 +119,62 @@ def test_stream_capped_trigger_resumes_by_lsn(spark, tmp_path):
     assert sum(len(set(b)) for b in nonempty) == len(set(all_lsns))
 
 
+def test_binlog_source_through_real_sink_converges(spark, tmp_path):
+    """End-to-end: the custom LSN-offset source feeding the REAL CDC
+    apply path (foreachBatch → IceboxSink) — replay converges to the
+    oracle state and the checkpoint stores binlog positions, so a
+    restart after new segments arrive resumes FROM THE LSN, applying
+    only the new events."""
+    from merlin_spark.apply import table_view
+    from merlin_spark.oracle import expected_state
+    from merlin_spark.sink import IceboxSink
+    from merlin_spark.stream import StreamConfig, replay
+
+    log = gen_changelog(ChangelogSpec(seed=29, n_events=2000, n_convs=30,
+                                      dup_rate=0.05, n_evo=1))
+    write_segments(log, str(tmp_path / "log"), n_segments=4)
+    cfg = StreamConfig(
+        log_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink_mode="mor",
+        source_format="binlog",
+    )
+    replay(spark, cfg, timeout_s=180)
+    got = (
+        table_view(IceboxSink(spark, cfg.table_path).read(), None)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = expected_state(log).reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+
+    # tail continuation: a new segment lands; the restarted stream must
+    # resume from the checkpointed LSN (only the new window applies)
+    log2 = gen_changelog(ChangelogSpec(seed=30, n_events=200, n_convs=30,
+                                       dup_rate=0.0, n_evo=0))
+    log2["lsn"] = log2["lsn"] + int(log["lsn"].max())
+    log2["ts"] = log2["ts"] + pd.Timedelta(hours=2)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from merlin_spark.fixtures import _event_arrow_schema
+
+    pq.write_table(
+        pa.Table.from_pandas(log2, schema=_event_arrow_schema(),
+                             preserve_index=False),
+        str(tmp_path / "log" / "segment-900000.parquet"),
+    )
+    replay(spark, cfg, timeout_s=180)
+    got2 = (
+        table_view(IceboxSink(spark, cfg.table_path).read(), None)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp2 = expected_state(pd.concat([log, log2], ignore_index=True)).reset_index(drop=True)
+    assert len(got2) == len(exp2)
+    pd.testing.assert_series_equal(got2["text"], exp2["text"], check_names=False)
+
+
 def test_stream_tail_lsn_offsets(spark, tmp_path):
     log, path = _mk_log(tmp_path)
     register(spark)
