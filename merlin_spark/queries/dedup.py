@@ -266,3 +266,44 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.round("cos_raw", 4).alias("cos"),
         )
     )
+
+
+@query(
+    "dedup_levenshtein_pairs",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              levenshtein(a.text, b.text) AS edit_dist
+       FROM documents a
+       JOIN documents b
+         ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE a.n_chars < 120 AND b.n_chars < 120
+         AND abs(a.n_chars - b.n_chars) <= 20
+         AND levenshtein(a.text, b.text) <= 40""",
+)
+def dedup_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs with blocking (SURVEY.md §2.9
+    `levenshtein` builtin as a first-class dedup operator): candidate
+    space bounded by an equi block (same lang) plus a length-band
+    predicate — |len(a)-len(b)| is a lower bound on edit distance, so
+    the band is a sound pre-filter, not an approximation. The O(len²)
+    distance runs only on blocked candidates; at corpus scale the block
+    key becomes (lang, length_bucket) or an LSH bucket. JVM builtin —
+    no Python on the data path."""
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") < 120).select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
+        )
+        .where(dist <= 40)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+    )

@@ -654,3 +654,128 @@ def scalar_array(spark, sf_dir):
         (F.round(F.element_at("embedding", 1).cast("double") + F.lit(1e-9), 4)
          + F.lit(0.0)).alias("first_val"),
     )
+
+
+@query(
+    "agg_pivot",
+    """SELECT o_orderstatus,
+              count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent_n,
+              count(*) FILTER (o_orderpriority = '2-HIGH') AS high_n,
+              count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium_n,
+              count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec_n,
+              count(*) FILTER (o_orderpriority = '5-LOW') AS low_n,
+              round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 4)
+                  AS urgent_total
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (SURVEY.md §2.4 family): long→wide via groupBy().pivot()
+    with the value list DECLARED — at scale an undeclared pivot needs an
+    extra distinct-values job and an unbounded column count; declaring
+    the spine keeps it one hash-aggregate pass. Column names pinned to
+    match the SQL FILTER formulation."""
+    o = load(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.col("`1-URGENT_n`").alias("urgent_n"),
+        F.col("`2-HIGH_n`").alias("high_n"),
+        F.col("`3-MEDIUM_n`").alias("medium_n"),
+        F.col("`4-NOT SPECIFIED_n`").alias("notspec_n"),
+        F.col("`5-LOW_n`").alias("low_n"),
+        F.col("`1-URGENT_total`").alias("urgent_total"),
+    )
+
+
+@query(
+    "set_unpivot",
+    """SELECT l_orderkey, l_linenumber, metric, round(value, 4) AS value
+       FROM (
+         SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+                l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+       )
+       WHERE l_orderkey < 100""",
+)
+def set_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide→long, SURVEY.md §2.7 family): DataFrame
+    .unpivot maps to a single generate/expand node — one scan, no
+    self-union of the fact table (the UNION ALL oracle formulation
+    would scan it three times)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+    return long.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("metric", "^l_", "").alias("metric"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+              round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+              round(median(l_discount), 4) AS median_discount
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles + median (SURVEY.md §2.4 family): Spark's
+    `percentile` uses the same linear interpolation as SQL
+    PERCENTILE_CONT / DuckDB quantile_cont, so results are
+    hash-comparable. Exact percentile materializes per-group value
+    buffers — at 100 TB swap to approx_percentile (t-digest, mergeable
+    map-side) and accept rank error; both shapes shown here."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.median("l_discount"), 4).alias("median_discount"),
+    )
+
+
+@query(
+    "win_rank_extended",
+    """SELECT c_custkey, c_nationkey,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 4) AS pct_rank,
+              round(cume_dist() OVER w, 4) AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey)""",
+)
+def win_rank_extended(spark, sf_dir):
+    """Distribution-ranking windows (ntile / percent_rank / cume_dist,
+    SURVEY.md §2.5): order pinned by the unique c_custkey tie-break so
+    every engine computes identical ranks."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
