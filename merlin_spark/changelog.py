@@ -32,7 +32,7 @@ def read_batch(
     Catalyst pushes it into the parquet scan (SURVEY.md §4).
     """
     reader = spark.read.schema(EVENT_SCHEMA)
-    df = reader.json(path) if fmt == "json" else reader.parquet(path)
+    df = _by_fmt(reader, path, fmt)
     if lsn_from is not None:
         df = df.where(col("lsn") >= lsn_from)
     if lsn_to is not None:
@@ -55,4 +55,22 @@ def read_stream(
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.json(path) if fmt == "json" else reader.parquet(path)
+    return _by_fmt(reader, path, fmt)
+
+
+def _by_fmt(reader, path: str, fmt: str):
+    """Dispatch on changelog encoding. CSV options pin the round trip:
+    header row, ISO-microsecond timestamps, and quote-doubling escapes
+    (what pandas/arrow writers emit) instead of Spark's backslash
+    default — without them quoted text payloads mis-parse silently."""
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "csv":
+        return (
+            reader.option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(path)
+        )
+    return reader.parquet(path)

@@ -305,6 +305,23 @@ def gen_transcripts(seed: int, n_convs: int, turns_per_conv: int) -> pd.DataFram
     )
 
 
+def write_segments_csv(df: pd.DataFrame, path: str, n_segments: int = 8) -> list[str]:
+    """Write the changelog as CSV binlog segments (header row, ISO
+    microsecond timestamps, quote-doubling escapes — matched by the
+    reader options in changelog._by_fmt)."""
+    os.makedirs(path, exist_ok=True)
+    out = df.copy()
+    out["ts"] = pd.to_datetime(out["ts"]).dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    paths = []
+    for i, part in enumerate(np.array_split(np.arange(len(out)), n_segments)):
+        if len(part) == 0:
+            continue
+        p = os.path.join(path, f"segment-{i:06d}.csv")
+        out.iloc[part].to_csv(p, index=False)
+        paths.append(p)
+    return paths
+
+
 def write_segments_json(df: pd.DataFrame, path: str, n_segments: int = 8) -> list[str]:
     """Write the changelog as JSONL binlog segments (the WAL-tail
     encoding — SURVEY.md §2.1 CSV/JSONL source row). Timestamps are ISO

@@ -38,6 +38,23 @@ def test_jsonl_replay_equals_parquet(spark, tmp_path):
     pd.testing.assert_frame_equal(pq, jl)
 
 
+def test_csv_replay_equals_parquet(spark, tmp_path):
+    """CSV WAL encoding (SURVEY.md §2.1 CSV/JSONL source row): the
+    declared-schema CSV read — including quoted unicode/control-char
+    payloads and null fields on D events — must replay byte-identically
+    to the parquet encoding of the same log."""
+    from merlin_spark.fixtures import write_segments_csv
+
+    log = gen_changelog(
+        ChangelogSpec(seed=37, n_events=2500, n_convs=40, dup_rate=0.05, n_evo=2)
+    )
+    write_segments(log, str(tmp_path / "pq"), n_segments=4)
+    write_segments_csv(log, str(tmp_path / "cs"), n_segments=4)
+    pq = _final(spark, str(tmp_path / "pq"), "parquet")
+    cs = _final(spark, str(tmp_path / "cs"), "csv")
+    pd.testing.assert_frame_equal(pq, cs)
+
+
 def test_jsonl_lsn_pushdown_filter(spark, tmp_path):
     log = gen_changelog(ChangelogSpec(seed=37, n_events=1000, n_convs=20, n_evo=0))
     write_segments_json(log, str(tmp_path / "jl"), n_segments=2)
