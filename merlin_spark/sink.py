@@ -265,12 +265,22 @@ class IceboxSink:
     # ---------------------------------------------------------- evolve
 
     def _evolve(self, man: dict, evolutions: list[tuple[str, str]]) -> dict:
-        existing = {n for n, _ in man["schema"]}
+        existing = {n: t for n, t in man["schema"]}
         for name, ddl in evolutions:
+            ddl = ddl or "string"
             if name in existing:
+                if existing[name] != ddl:
+                    # only ADDITIVE evolution is in contract (SURVEY.md
+                    # §1.4): a re-add with a different type is a type
+                    # change — reject loudly, never coerce silently
+                    raise ValueError(
+                        f"non-additive schema evolution rejected: column "
+                        f"{name!r} exists as {existing[name]!r}, event "
+                        f"wants {ddl!r}"
+                    )
                 continue  # add-if-absent: idempotent (SURVEY.md §2.9)
-            man["schema"] = man["schema"] + [(name, ddl or "string")]
-            existing.add(name)
+            man["schema"] = man["schema"] + [(name, ddl)]
+            existing[name] = ddl
         return man
 
     # ----------------------------------------------------------- apply

@@ -65,10 +65,19 @@ def test_evolution_idempotent_add(spark, tmp_path):
     assert names.count("meta_x") == 1
 
 
-def test_non_additive_evolution_rejected():
+def test_non_additive_evolution_rejected(spark, tmp_path):
     """Out of contract: only additive adds are legal (SURVEY.md §1.4).
-    The event envelope has no drop/rename op kind at all — assert the
-    generator cannot express one and document the rejection."""
+    The event envelope has no drop/rename op kind at all, and a re-add
+    with a DIFFERENT type (a type change in disguise) must raise loudly
+    instead of silently keeping the old type."""
     spec = ChangelogSpec(seed=1, n_events=200, n_evo=1)
     log = gen_changelog(spec)
     assert set(log["op"].unique()) <= {"I", "U", "D", "S"}
+
+    sink = IceboxSink(spark, str(tmp_path / "t"))
+    man = sink._evolve(sink.manifest(), [("meta_x", "string")])
+    with pytest.raises(ValueError, match="non-additive"):
+        sink._evolve(man, [("meta_x", "bigint")])
+    # and the base table columns are protected the same way
+    with pytest.raises(ValueError, match="non-additive"):
+        sink._evolve(man, [("text", "bigint")])
