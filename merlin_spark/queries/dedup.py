@@ -145,10 +145,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     shuffle; the only pair-space is within-bucket."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d)
-    # signature: min over shingles of xxhash64(sh, i) for each permutation
-    sig = sh.groupBy("doc_id").agg(
+    # signature: hash each shingle STRING once (xxhash64), then derive
+    # the 32 permutations by re-hashing that fixed-width 8-byte value
+    # with per-permutation seeds. One O(len) string hash + 32 O(1)
+    # integer hashes per shingle instead of 32 full string hashes —
+    # same MinHash independence (each seed gives an independent hash of
+    # the shingle's identity), several-fold cheaper on real text.
+    # (Multiply-add universal hashing would be cheaper still but ANSI
+    # mode forbids the wrapping long arithmetic it relies on.)
+    h = F.xxhash64("sh")
+    sig = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         F.array(
-            *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(N_PERM)]
+            *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
+              for i in range(N_PERM)]
         ).alias("sig")
     )
     # bands: bucket key = (band_idx, hash(slice))
@@ -281,26 +290,48 @@ def dedup_embedding_cosine(spark, sf_dir):
 )
 def dedup_levenshtein_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs with blocking (SURVEY.md §2.9
-    `levenshtein` builtin as a first-class dedup operator): candidate
-    space bounded by an equi block (same lang) plus a length-band
-    predicate — |len(a)-len(b)| is a lower bound on edit distance, so
-    the band is a sound pre-filter, not an approximation. The O(len²)
-    distance runs only on blocked candidates; at corpus scale the block
-    key becomes (lang, length_bucket) or an LSH bucket. JVM builtin —
-    no Python on the data path."""
+    `levenshtein` builtin as a first-class dedup operator).
+
+    Candidate generation is an EXACT band join: |len(a)-len(b)| is a
+    lower bound on edit distance, so the ±W length band is a sound
+    pre-filter. Physically it's an equi join on (lang, length_bucket)
+    with the left side replicated to its 3 adjacent buckets — bucket
+    width = W guarantees every in-band pair shares one of them, and
+    each unordered pair matches exactly once (a fixed right bucket hits
+    at most one of the left's 3 replicas; doc_a < doc_b keeps one
+    orientation). Joining on lang ALONE would hash all candidates into
+    ~5 reducer keys — a parallelism ceiling of 5 tasks regardless of
+    cluster size; the bucket term multiplies key cardinality so the
+    O(len²) distance work spreads across executors. The oracle states
+    the declarative semantics (band predicate) — results are identical
+    by construction."""
+    W = 20
     d = load(spark, sf_dir, "documents").where(F.col("n_chars") < 120).select(
-        "doc_id", "lang", "text", "n_chars"
+        "doc_id", "lang", "text", "n_chars",
+        F.floor(F.col("n_chars") / W).alias("bk"),
     )
-    a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    # the probe side arrives as ONE scan partition (small parquet file):
+    # under the broadcast join every levenshtein then runs in a single
+    # task. Round-robin repartition spreads the O(len²) distance work
+    # across the cluster; at corpus scale (right side too big to
+    # broadcast) the (lang, jb) equi keys take over as the exchange.
+    a = d.select(
+        "*", F.explode(F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)).alias("jb")
+    ).repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = d.withColumn("jb", F.col("bk")).alias("b")
+    # thresholded levenshtein computes only the |dist| ≤ 2·40 diagonal
+    # band of the DP matrix (returns -1 beyond) — O(len·threshold)
+    # instead of O(len²) per candidate, the dominant cost of this query
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), 40)
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.jb") == F.col("b.jb"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= W),
         )
-        .where(dist <= 40)
+        .where(dist >= 0)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
