@@ -165,6 +165,30 @@ def test_rerun_after_completion_is_noop(spark, tmp_path, log):
     assert v1 == v2
 
 
+def test_crash_between_data_write_and_manifest_swap(spark, tmp_path):
+    """The commit protocol's other crash window (SURVEY.md §5.3): a
+    batch that wrote its data files but died BEFORE the atomic manifest
+    swap leaves only unreferenced staged files. The redelivered batch
+    re-applies cleanly (the ledger never saw the doomed attempt), reads
+    never see the orphans, and vacuum GCs them."""
+    from merlin_spark.apply import prepare_batch, route_ops, to_stored
+    from tests.test_sink_concurrency import _events
+
+    sink = IceboxSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    ev = _events(spark, "I", 1, "2025-01-01")
+    winners = prepare_batch(route_ops(ev)[0], [])
+    # the doomed attempt: data files land, no commit follows
+    orphans = sink._write_buckets(to_stored(winners), None, n_parts=4)
+    n_orphans = sum(len(fl) for fl in orphans.values())
+    assert n_orphans > 0
+    assert sink.read_live().count() == 0  # invisible without a manifest
+
+    sink.apply(ev, 0)  # redelivery runs to completion
+    assert sink.read_live().count() == 5
+    assert sink.vacuum() == n_orphans  # exactly the doomed files GC'd
+    assert sink.read_live().count() == 5
+
+
 def test_batch_vs_streaming_identical(spark, tmp_path, log):
     """The batch fast path and the streaming path are the same engine:
     byte-identical final states (SURVEY.md §3.2)."""
