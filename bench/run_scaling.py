@@ -140,8 +140,9 @@ def main() -> None:
         pair_rows = "\n".join(
             f"| local[{a}] → local[{b}] ({r:.0f}×) | {eff:.3f} |"
             for a, b, r, eff in pairs
-        )
-        headline = pairs[0]
+        ) or "| (single level — no pair) | — |"
+        # single-level runs (input-scaling measurements) have no pair
+        headline = pairs[0] if pairs else (levels[0], levels[0], 1.0, float("nan"))
 
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
