@@ -13,8 +13,12 @@ equivalents):
   tombstones — only safe once the source guarantees no event older
   than the table's lsn_hi can still be redelivered (retention
   boundary; operator's call — see sink.IceboxSink.compact).
+- --expire-keep N: delete all but the newest N snapshot manifests
+  (Iceberg expire_snapshots parity) — bounds snapshots/ growth and ends
+  time travel for expired versions; pair with --vacuum to GC their
+  files.
 - --vacuum: delete data files unreferenced by the latest snapshot
-  (crash leftovers, superseded versions).
+  (crash leftovers, superseded versions, expired-snapshot files).
 
 Prints one JSON line with the resulting snapshot version and counts.
 """
@@ -36,6 +40,8 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--drop-tombstones", action="store_true")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="expire all but the newest N snapshot manifests")
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
@@ -50,6 +56,8 @@ def main() -> None:
         man = sink.compact(drop_tombstones=args.drop_tombstones)
         out["compacted_to_version"] = man["version"]
         out["files"] = sum(len(fl) for fl in man["files"].values())
+    if args.expire_keep is not None:
+        out["expired_snapshots"] = sink.expire_snapshots(args.expire_keep)
     if args.vacuum:
         out["vacuumed_files"] = sink.vacuum()
     out["version"] = sink.current_version()
