@@ -184,6 +184,25 @@ class IceboxSink:
         df = self.read(man=man)
         return df.where(F.col(SYSTEM_OP) != "D").drop(SYSTEM_OP, SYSTEM_LSN)
 
+    def read_key(self, conv_id: str) -> DataFrame:
+        """Point lookup: read ONE conversation, scanning only its hash
+        bucket's files (manifest-level pruning — at thousands of buckets
+        this is the Iceberg bucket-transform point-read path). The
+        bucket is computed with the SAME Spark expression the writer
+        uses (a one-row JVM job), so it can never drift from the
+        layout."""
+        b = (
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets))
+                    .cast("int").alias("b"))
+            .collect()[0]["b"]
+        )
+        df = self.read(buckets=[int(b)])
+        return (
+            df.where((F.col("conv_id") == conv_id) & (F.col(SYSTEM_OP) != "D"))
+            .drop(SYSTEM_OP, SYSTEM_LSN)
+        )
+
     # ------------------------------------------------------------ write
 
     def _write_buckets(self, df: DataFrame, touched: list[int] | None,

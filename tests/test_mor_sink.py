@@ -191,6 +191,27 @@ def test_mor_read_amplification_bounded_by_compaction(spark, tmp_path, log):
     _assert_state(_final(spark, cfg.table_path), expected_state(log))
 
 
+def test_read_key_point_lookup(spark, tmp_path, log):
+    """read_key scans only the conversation's hash bucket and returns
+    exactly the full-read rows for that key (bucket computed with the
+    writer's own expression, so it cannot drift from the layout)."""
+    write_segments(log, str(tmp_path / "log"), n_segments=3)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    replay(spark, cfg, timeout_s=180)
+    sink = IceboxSink(spark, cfg.table_path)
+    full = sink.read_live().toPandas()
+    conv = full["conv_id"].iloc[0]
+    got = (
+        sink.read_key(conv).toPandas()
+        .sort_values("turn_idx").reset_index(drop=True)
+    )
+    exp = (
+        full[full["conv_id"] == conv]
+        .sort_values("turn_idx").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_time_travel_and_rollback(spark, tmp_path, log):
     """Iceberg parity: VERSION AS OF reads + rollback_to_snapshot.
     Immutable files + append-only manifests make old snapshots readable
