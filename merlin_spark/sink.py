@@ -151,8 +151,26 @@ class IceboxSink:
 
     # ------------------------------------------------------------- read
 
+    def _select_files(self, man: dict, buckets: list[int] | None,
+                      key: str | None = None) -> list[str]:
+        """Live files for a read, pruned by bucket and — when the
+        manifest carries per-file conv_id min/max stats — by key range
+        (Iceberg data-file stats pruning). Files without stats are
+        never pruned (old manifests stay readable)."""
+        fs = man.get("file_stats", {})
+        files = []
+        for b, fl in man["files"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for rel in fl:
+                st = fs.get(rel)
+                if key is not None and st and not (st[0] <= key <= st[1]):
+                    continue
+                files.append(os.path.join(self.path, rel))
+        return files
+
     def read(self, buckets: list[int] | None = None,
-             man: dict | None = None) -> DataFrame:
+             man: dict | None = None, key: str | None = None) -> DataFrame:
         """Read the current table state (optionally bucket-pruned).
 
         Files written before a schema evolution lack new columns;
@@ -163,12 +181,16 @@ class IceboxSink:
         resolve LWW here. Bucket pruning stays correct because every
         version of a key hashes to the same bucket. Resolution over
         already-compacted (single-version) data is the identity.
+
+        ``key`` additionally prunes files whose conv_id [min, max]
+        range excludes it — correct for THAT key (its pruned files hold
+        none of its rows), but other keys in the surviving files may be
+        only partially resolved (their other versions may live in
+        pruned files). A ``key`` read must therefore always be paired
+        with an equality filter on conv_id — :meth:`read_key` does.
         """
         man = man or self.manifest()
-        files = []
-        for b, fl in man["files"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.path, p) for p in fl)
+        files = self._select_files(man, buckets, key)
         if not files:
             return self.spark.createDataFrame([], self.schema(man))
         df = self.spark.read.schema(self.schema(man)).parquet(*files)
@@ -197,7 +219,7 @@ class IceboxSink:
                     .cast("int").alias("b"))
             .collect()[0]["b"]
         )
-        df = self.read(buckets=[int(b)])
+        df = self.read(buckets=[int(b)], key=conv_id)
         return (
             df.where((F.col("conv_id") == conv_id) & (F.col(SYSTEM_OP) != "D"))
             .drop(SYSTEM_OP, SYSTEM_LSN)
@@ -235,6 +257,35 @@ class IceboxSink:
             ]
         return files
 
+    def _file_key_stats(self, new_files: dict[str, list[str]]) -> dict[str, list[str]]:
+        """Per-file conv_id [min, max] from parquet footers (metadata
+        only). Conservative: a file whose stats are absent or flagged
+        truncated simply gets no entry and is never pruned. conv_ids
+        are short, so parquet's long-string stats truncation does not
+        bite in practice — the has_min_max guard covers the rest."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, list[str]] = {}
+        for _b, fl in new_files.items():
+            for rel in fl:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                j = idx.get("conv_id")
+                if j is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    out[rel] = [lo, hi]
+        return out
+
     def _ledger_key(self, batch_id: int) -> str:
         return f"{self.epoch}:{int(batch_id)}"
 
@@ -251,6 +302,12 @@ class IceboxSink:
                 files[b] = files.get(b, []) + fl
         else:
             files.update(new_files)  # touched buckets replaced wholesale
+        # per-file conv_id range stats (Iceberg data-file stats): merge
+        # new files' footer stats, keep only entries for live files
+        file_stats = dict(man.get("file_stats", {}))
+        file_stats.update(self._file_key_stats(new_files))
+        live = {p for fl in files.values() for p in fl}
+        file_stats = {p: s for p, s in file_stats.items() if p in live}
         new_man = {
             "version": version,
             "parent": man["version"],
@@ -266,6 +323,7 @@ class IceboxSink:
             "epoch": self.epoch,
             "schema": man["schema"],
             "files": files,
+            "file_stats": file_stats,
             "mode": self.mode,
             "lsn_hi": int(lsn_hi) if lsn_hi is not None else man.get("lsn_hi", -1),
             "lsn_lo_batch": int(lsn_lo) if lsn_lo is not None else None,

@@ -72,6 +72,20 @@ def test_mor_apply_rebases_on_conflict(spark, tmp_path):
     assert "2" in {k.split(":")[1] for k in new_man["applied"]}
 
 
+def test_read_key_prunes_by_file_stats(spark, tmp_path):
+    """Per-file conv_id [min, max] manifest stats (Iceberg data-file
+    stats parity): a point lookup skips same-bucket files whose key
+    range excludes the conversation — pruning below bucket granularity."""
+    sink = IceboxSink(spark, str(tmp_path / "t"), n_buckets=1, mode="mor")
+    sink.apply(_events(spark, "I", 1, "2025-01-01", conv="convA"), 0)
+    sink.apply(_events(spark, "I", 100, "2025-01-02", conv="convZ"), 1)
+    man = sink.manifest()
+    assert len(sink._select_files(man, [0], None)) == 2
+    assert len(sink._select_files(man, [0], "convA")) == 1  # convZ file pruned
+    got = sink.read_key("convA").toPandas()
+    assert len(got) == 5 and set(got["conv_id"]) == {"convA"}
+
+
 def test_expire_snapshots_bounds_manifest_growth(spark, tmp_path):
     sink = IceboxSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
     for b in range(5):
