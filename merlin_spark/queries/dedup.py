@@ -213,18 +213,21 @@ def dedup_simhash(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
+    # ±1 bit-vote via plain popcount sums: sum_b = Σ bit_b(h) per doc;
+    # the signed vote 2·sum_b − n is positive ⟺ sum_b > n/2, so each of
+    # the 64 aggregates is a branchless sum of a masked shift (no
+    # per-row CASE WHEN — same result, cheaper codegen)
     votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(64)
-        ]
+        ],
     )
     packed = votes.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0) for b in range(63)],
+            [F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long") * (2**b)).otherwise(0) for b in range(63)],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
