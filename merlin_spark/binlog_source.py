@@ -147,15 +147,22 @@ class BinlogStreamReader(DataSourceStreamReader):
         cap = int(options.get("max_lsn_per_trigger", 0) or 0)
         self.max_lsn_per_trigger = cap if cap > 0 else None
         # Driver-side planning position for rate limiting. The engine
-        # calls latestOffset BEFORE initialOffset/partitions, so a new
-        # reader has no way to learn the checkpointed position first —
-        # the cap therefore counts from 0. Fresh starts are exact (the
-        # start offset IS 0). After a RESTART with a cap configured,
-        # the first capped windows may re-cover already-committed lsns
-        # while _prev climbs back to the checkpoint position; that is
-        # bounded redelivery, absorbed by the engine's idempotent LWW
-        # sink (and the uncapped default has no such phase at all).
+        # calls latestOffset BEFORE initialOffset/partitions even on a
+        # fresh start, so a new reader cannot tell fresh from restart at
+        # its first call and the cap counts from 0 either way. Fresh
+        # starts are exact (the start offset IS 0). After a RESTART the
+        # first capped offsets may sit BELOW the checkpointed position
+        # while _prev climbs back — those entries in the engine's offset
+        # log are the one cosmetic artifact left. What does NOT happen
+        # (anymore) is re-delivery: partitions() records every
+        # engine-provided batch START in self._floor (a start is always
+        # a committed position — on restart the very first planning call
+        # carries the true checkpointed LSN) and clamps every slice's
+        # exclusive lower bound to it, so climb-back windows below the
+        # floor deliver zero rows to ANY consumer, LWW or not, and _prev
+        # snaps to the floor so the climb-back is a single empty batch.
         self._prev: int | None = None
+        self._floor = 0  # highest engine-provided committed start seen
 
     def initialOffset(self) -> dict:
         self._prev = 0
@@ -173,14 +180,18 @@ class BinlogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo = int(start.get("lsn", 0))
         hi = int(end.get("lsn", 0))
-        # rate-limit bookkeeping across restarts: a fresh reader learns
-        # the real position from the engine's first planned range
-        self._prev = max(self._prev or 0, hi)
+        # position bookkeeping across restarts: the engine's start is an
+        # already-committed position — adopt it as the delivery floor
+        # and snap the rate-limit position to it, so a capped restart
+        # never re-delivers below the checkpoint (see __init__ comment)
+        self._floor = max(self._floor, lo)
+        self._prev = max(self._prev or 0, lo, hi)
+        lo_eff = max(lo, self._floor)
         parts = [
-            _StreamSlicePartition(fp, lo, hi)
+            _StreamSlicePartition(fp, lo_eff, hi)
             for fp in _segments(self.path)
             for flo, fhi in (_lsn_range(fp),)
-            if fhi > lo and flo <= hi
+            if fhi > lo_eff and flo <= hi
         ]
         return parts or [_StreamSlicePartition("", 0, 0)]
 

@@ -235,6 +235,18 @@ def dedup_simhash(spark, sf_dir):
         "doc_id",
         F.lower(F.hex("simhash")).alias("simhash_hex"),
         F.shiftrightunsigned("simhash", 48).alias("bucket16"),
+        # multi-band blocking keys: 8 bands × 8 bits, key = band_idx
+        # tagged into the high byte. Pigeonhole: a pair within hamming
+        # distance 7 MUST share at least one untouched band, so an
+        # explode(bands8) → groupBy(band) candidate join has guaranteed
+        # recall at h≤7 and high probabilistic recall just above it —
+        # the single bucket16 prefix is only coarse locality.
+        # (Recall evidenced in tests/test_dedup_recall.py.)
+        F.array(*[
+            (F.lit(b * 256) + F.shiftrightunsigned("simhash", b * 8)
+             .bitwiseAND(F.lit(255))).cast("int")
+            for b in range(8)
+        ]).alias("bands8"),
     ).orderBy("doc_id")
 
 

@@ -684,13 +684,16 @@ def agg_pivot(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+    # pivot yields NULL for a (status, priority) cell with no rows while
+    # the SQL count(*) FILTER yields 0 — coalesce the counts so absent
+    # combinations hash-match on every fixture (sums stay NULL in both)
     return wide.select(
         "o_orderstatus",
-        F.col("`1-URGENT_n`").alias("urgent_n"),
-        F.col("`2-HIGH_n`").alias("high_n"),
-        F.col("`3-MEDIUM_n`").alias("medium_n"),
-        F.col("`4-NOT SPECIFIED_n`").alias("notspec_n"),
-        F.col("`5-LOW_n`").alias("low_n"),
+        F.coalesce(F.col("`1-URGENT_n`"), F.lit(0)).alias("urgent_n"),
+        F.coalesce(F.col("`2-HIGH_n`"), F.lit(0)).alias("high_n"),
+        F.coalesce(F.col("`3-MEDIUM_n`"), F.lit(0)).alias("medium_n"),
+        F.coalesce(F.col("`4-NOT SPECIFIED_n`"), F.lit(0)).alias("notspec_n"),
+        F.coalesce(F.col("`5-LOW_n`"), F.lit(0)).alias("low_n"),
         F.col("`1-URGENT_total`").alias("urgent_total"),
     )
 
@@ -751,6 +754,26 @@ def agg_percentiles(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
         F.round(F.median("l_discount"), 4).alias("median_discount"),
+    )
+
+
+@query("agg_percentiles_approx")  # sketch values drift vs any exact oracle
+def agg_percentiles_approx(spark, sf_dir):
+    """Approximate percentiles (SURVEY.md §2.4) — the 100 TB companion
+    to agg_percentiles: `approx_percentile` (Greenwald–Khanna sketch,
+    accuracy=10000 ⇒ rank error ≤ n/10000) is MERGEABLE, so it
+    aggregates map-side and never materializes per-group value buffers
+    the way exact `percentile`'s sort does. Rows-only driver check by
+    design (sketch outputs are engine-specific); the quantitative
+    error bound vs the exact path is asserted in
+    tests/test_percentile_approx.py."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.25), acc), 4).alias("p25"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.50), acc), 4).alias("p50"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.75), acc), 4).alias("p75"),
+        F.round(F.approx_percentile("l_discount", F.lit(0.50), acc), 4).alias("median_discount"),
     )
 
 

@@ -62,17 +62,30 @@ def _checkpoint_epoch(checkpoint_path: str) -> str:
 
     os.makedirs(checkpoint_path, exist_ok=True)
     marker = os.path.join(checkpoint_path, "_merlin_epoch")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            return f.read().strip()
-    epoch = uuid.uuid4().hex[:12]
-    tmp = f"{marker}.tmp-{epoch}"
-    with open(tmp, "w") as f:
-        f.write(epoch)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, marker)  # atomic: concurrent starters agree on one epoch
-    return epoch
+    if not os.path.exists(marker):
+        epoch = uuid.uuid4().hex[:12]
+        tmp = f"{marker}.tmp-{epoch}"
+        with open(tmp, "w") as f:
+            f.write(epoch)
+            f.flush()
+            os.fsync(f.fileno())
+        # EXCLUSIVE publish (same pattern as sink._atomic_publish): an
+        # os.rename here would be last-writer-wins — starter A could read
+        # back its own epoch just before B's rename replaced the marker,
+        # leaving two live epochs and un-gating the ledger between them.
+        # os.link fails with EEXIST for every starter but one; ALL
+        # starters then re-read the marker and agree on the winner.
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    with open(marker) as f:
+        return f.read().strip()
 
 
 def run_stream(spark: SparkSession, cfg: StreamConfig) -> StreamingQuery:

@@ -119,6 +119,66 @@ def test_stream_capped_trigger_resumes_by_lsn(spark, tmp_path):
     assert sum(len(set(b)) for b in nonempty) == len(set(all_lsns))
 
 
+def test_stream_capped_restart_no_redelivery(spark, tmp_path):
+    """ADVICE r2: a RESTARTED capped reader's rate-limit position counts
+    from 0, so its first planned offsets sit below the checkpoint while
+    it climbs back. The delivery floor (engine-provided batch starts)
+    must make those climb-back windows EMPTY — no lsn at or below the
+    checkpointed position may be re-delivered to the consumer."""
+    import time
+
+    log, path = _mk_log(tmp_path)
+    old_max = int(log["lsn"].max())
+    register(spark)
+
+    def drain(ckpt, batches, target):
+        q = (
+            spark.readStream.format("merlin_binlog").option("path", path)
+            .option("max_lsn_per_trigger", 600).load()
+            .writeStream.foreachBatch(
+                lambda df, _bid: batches.append(df.select("lsn").toPandas()["lsn"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            got = set(pd.concat(batches, ignore_index=True)) if batches else set()
+            if got >= target:
+                break
+            time.sleep(0.5)
+        q.stop()
+
+    ckpt = str(tmp_path / "ckpt_r")
+    first = []
+    drain(ckpt, first, set(range(1, old_max + 1)))
+    assert set(pd.concat(first, ignore_index=True)) == set(range(1, old_max + 1))
+
+    # new tail arrives; restart from the same checkpoint with the cap on
+    log2 = gen_changelog(ChangelogSpec(seed=31, n_events=200, n_convs=30,
+                                       dup_rate=0.0, n_evo=0))
+    log2["lsn"] = log2["lsn"] + old_max
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from merlin_spark.fixtures import _event_arrow_schema
+
+    pq.write_table(
+        pa.Table.from_pandas(log2, schema=_event_arrow_schema(),
+                             preserve_index=False),
+        str(tmp_path / "log" / "segment-900000.parquet"),
+    )
+    new_lsns = set(range(old_max + 1, old_max + int(log2["lsn"].max() - old_max) + 1))
+    second = []
+    drain(ckpt, second, new_lsns)
+    redelivered = [
+        int(v) for b in second for v in b if int(v) <= old_max
+    ]
+    assert not redelivered, f"climb-back re-delivered {len(redelivered)} lsns"
+    assert set(pd.concat([b for b in second if len(b)], ignore_index=True)) == new_lsns
+
+
 def test_binlog_source_through_real_sink_converges(spark, tmp_path):
     """End-to-end: the custom LSN-offset source feeding the REAL CDC
     apply path (foreachBatch → IceboxSink) — replay converges to the
