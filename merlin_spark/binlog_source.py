@@ -58,6 +58,22 @@ def _segments(path: str) -> list[str]:
     )
 
 
+def _us_timestamps(table):
+    """Normalize timestamp columns to microsecond unit: Spark's Arrow
+    ingestion for Python DataSources rejects Timestamp(NANOSECOND), and
+    segment writers differ (pyarrow fixtures write µs, a Spark parquet
+    writer can produce ns) — the source, not its callers, owns making
+    every segment readable."""
+    import pyarrow as pa
+
+    for i, f in enumerate(table.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            table = table.set_column(
+                i, f.name, table.column(i).cast(pa.timestamp("us", f.type.tz))
+            )
+    return table
+
+
 def _lsn_range(fp: str) -> tuple[int, int]:
     """Segment lsn bounds from the parquet footer — metadata only."""
     import pyarrow.parquet as pq
@@ -112,7 +128,7 @@ class BinlogBatchReader(DataSourceReader):
             table = table.filter(pc.field("lsn") >= partition.lsn_from)
         if partition.lsn_to is not None:
             table = table.filter(pc.field("lsn") <= partition.lsn_to)
-        return iter(table.to_batches())
+        return iter(_us_timestamps(table).to_batches())
 
 
 class _StreamSlicePartition(InputPartition):
@@ -139,7 +155,11 @@ class BinlogStreamReader(DataSourceStreamReader):
 
     ``max_lsn_per_trigger`` bounds offset advancement per micro-batch
     (admission control so a cold replay of a huge log proceeds in
-    bounded batches instead of one giant one).
+    bounded batches instead of one giant one). Sizing note: a window's
+    scan parallelism equals the number of segment files it overlaps —
+    cap so each window spans at least as many segments as you have
+    cores (or write the log in proportionally more segments), else
+    cores idle during the scan stage (measured: BENCH/SCALING_r03.md).
     """
 
     def __init__(self, options):
@@ -196,18 +216,32 @@ class BinlogStreamReader(DataSourceStreamReader):
         return parts or [_StreamSlicePartition("", 0, 0)]
 
     def read(self, partition: _StreamSlicePartition):
-        # executor-side: Arrow batches only, no per-row Python
+        # executor-side: Arrow batches only, no per-row Python. Batches
+        # STREAM out of the parquet reader (iter_batches + memory_map)
+        # instead of materializing the whole segment table per task:
+        # decode overlaps the Arrow IPC hand-off to the JVM and peak
+        # memory stays one batch per worker — at wide local parallelism
+        # (32 concurrent segment tasks) whole-table materialization
+        # measurably degraded throughput.
+        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         if not partition.fp:
             return iter(())
-        t = pq.read_table(partition.fp, columns=_COLS)
-        t = t.filter(
-            (pc.field("lsn") > partition.lo_excl)
-            & (pc.field("lsn") <= partition.hi_incl)
-        )
-        return iter(t.to_batches())
+
+        lo, hi = partition.lo_excl, partition.hi_incl
+
+        def gen():
+            pf = pq.ParquetFile(partition.fp, memory_map=True)
+            for rb in pf.iter_batches(batch_size=1 << 17, columns=_COLS):
+                t = pa.Table.from_batches([rb]).filter(
+                    (pc.field("lsn") > lo) & (pc.field("lsn") <= hi)
+                )
+                if t.num_rows:
+                    yield from _us_timestamps(t).to_batches()
+
+        return gen()
 
     def commit(self, end: dict) -> None:
         # immutable log: nothing to ack; keep the rate-limit position

@@ -77,3 +77,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def prewarm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Fork one Python worker per slot and pay its heavy imports
+    (pyarrow, pandas) BEFORE a timed section: the first Python-backed
+    job of a session otherwise spends ~10 s of fleet-wide worker
+    startup inside the measurement window. Same class of warmup as the
+    JVM JIT — call it right before benchmarked replays."""
+
+    def _warm(_it):
+        import pandas  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+
+        yield 0
+
+    sc = spark.sparkContext
+    k = (n or sc.defaultParallelism) * 2
+    sc.parallelize(range(k), k).mapPartitions(_warm).count()

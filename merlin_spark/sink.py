@@ -311,8 +311,11 @@ class IceboxSink:
                 yield rel, md.num_rows, conv, lsn
 
         sc = self.spark.sparkContext
+        # few fat slices, not one per file: each task handles a batch of
+        # footers (they are milliseconds each), so the job spins up at
+        # most 16 Python workers instead of one per file per commit
         rows = (
-            sc.parallelize(rels, min(len(rels), 64))
+            sc.parallelize(rels, min(len(rels), 16))
             .mapPartitions(_read_footers)
             .collect()
         )
