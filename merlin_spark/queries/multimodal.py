@@ -148,7 +148,16 @@ def mm_frame_sample(spark, sf_dir):
 @query("mm_embed_binary")  # rows-only (binary + fake features)
 def mm_embed_binary(spark, sf_dir):
     """Decode→feature-extract shape: binary payload → fixed-dim float
-    vector via vectorized batches (deterministic fake decoder)."""
+    vector via vectorized batches (deterministic fake decoder).
+
+    Perf note (measured r3): the per-payload comprehension below calls
+    hashlib's C sha256 (hardware SHA extensions) once per payload —
+    86 ms for a 20k×900B batch. A numpy "vectorization" (periodic
+    uint64 weight dot per plane, reduceat-accumulated) touched 32× the
+    memory (8B lanes × 4 planes per payload byte) and measured 8×
+    SLOWER on this memory-bandwidth-bound host — the C-hash digest IS
+    the fast path; the comprehension is the Arrow-boundary shim, not a
+    data-path loop."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )

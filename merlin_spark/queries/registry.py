@@ -66,6 +66,8 @@ _FRONT = [
     # new in round 3
     "agg_percentiles_approx",
     "sql_view_query",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
 ]
 
 _BACK = [
@@ -83,6 +85,8 @@ _BACK = [
     "win_rank",
     "win_lag_lead",
     "win_running_sum",
+    "agg_rollup",
+    "agg_cube",
 ]
 
 

@@ -95,15 +95,33 @@ def ann_lsh_bucketed(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    eb = e.withColumn("bucket", _sign_bucket("emb")).withColumn("nrm", _norm("emb"))
+    q = eb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"), "bucket",
+    )
+    cand = eb.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos_raw", _cos("q_emb", "emb", "q_nrm", "nrm"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+def _sign_bucket(emb_col: str):
+    """8-bit sign-plane bucket id as a Column (shared by the LSH qkeys)."""
     planes = [
         F.array(*[F.lit(_plane_weight(p, d)) for d in range(64)])
         for p in range(N_PLANES)
     ]
-    bucket = sum(
+    return sum(
         (
             F.when(
                 F.aggregate(
-                    F.zip_with("emb", planes[p], lambda x, w: x * w),
+                    F.zip_with(emb_col, planes[p], lambda x, w: x * w),
                     F.lit(0.0),
                     lambda s, x: s + x,
                 )
@@ -114,12 +132,107 @@ def ann_lsh_bucketed(spark, sf_dir):
         ),
         F.lit(0),
     )
-    eb = e.withColumn("bucket", bucket).withColumn("nrm", _norm("emb"))
+
+
+@query("ann_lsh_multiprobe")  # approximate recall ⇒ rows-only check
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH: each query additionally probes the 8 buckets at
+    Hamming distance 1 from its own (one sign bit flipped) — the
+    standard recall lever when a near neighbor sits just across a
+    hyperplane. 9 probe buckets per query instead of 9× more tables:
+    same corpus layout as ann_lsh_bucketed, candidates still come from
+    one bucket equi join (each corpus vector lives in exactly ONE
+    bucket, and a query's 9 probe ids are distinct, so no candidate
+    dedup is needed), exact cosine re-rank within candidates.
+    Recall vs single-probe quantified in tests/test_dedup_recall.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    eb = e.withColumn("bucket", _sign_bucket("emb")).withColumn("nrm", _norm("emb"))
     q = eb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"), "bucket",
     )
-    cand = eb.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    probes = q.select(
+        "q_id", "q_emb", "q_nrm",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    cand = eb.join(F.broadcast(probes), on="bucket").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos_raw", _cos("q_emb", "emb", "q_nrm", "nrm"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+K_CELLS = 16  # IVF codebook size at this fixture scale
+NPROBE = 4  # cells probed per query
+
+
+def _cell_dots(emb_col: str):
+    """Array of <centroid, emb> dot products against the K_CELLS
+    deterministic pseudo-centroids (hash-derived unit-free directions —
+    the stand-in for a trained k-means codebook, which at scale you
+    would fit offline with MLlib KMeans and broadcast)."""
+    cents = [
+        F.array(*[F.lit(_plane_weight(100 + c, d)) for d in range(64)])
+        for c in range(K_CELLS)
+    ]
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(emb_col, cents[c], lambda x, w: x * w),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        for c in range(K_CELLS)
+    ])
+
+
+@query("ann_ivf_topk")  # approximate recall ⇒ rows-only check
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: corpus vectors partition into K_CELLS inverted
+    lists by nearest codebook direction (argmax dot); each query probes
+    its NPROBE best cells and exact-cosine re-ranks only those lists.
+    The dataflow is the real IVF shape — cell assignment is one
+    linear pass, candidates come from a cell equi join keyed on the
+    inverted-list id (shuffle keyed on cell at 10^10 scale, never
+    all-pairs), probing more cells trades compute for recall. A corpus
+    vector is in exactly one cell and a query's NPROBE cells are
+    distinct, so candidates need no dedup.
+    Recall quantified in tests/test_dedup_recall.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("dots", _cell_dots("emb"))
+    corpus = e.select(
+        "vec_id", "emb",
+        (F.array_position("dots", F.array_max("dots")) - 1).cast("int").alias("cell"),
+    ).withColumn("nrm", _norm("emb"))
+    ranked = F.slice(
+        F.reverse(F.array_sort(F.transform(
+            "dots",
+            lambda d, i: F.struct(d.alias("dot"), i.alias("cell")),
+        ))),
+        1, NPROBE,
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
+        F.explode(ranked).alias("probe"),
+    ).select(
+        "q_id", "q_emb", F.col("probe.cell").alias("cell"),
+    ).withColumn("q_nrm", _norm("q_emb"))
+    cand = corpus.join(F.broadcast(q), on="cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
         cand.withColumn("cos_raw", _cos("q_emb", "emb", "q_nrm", "nrm"))

@@ -115,6 +115,51 @@ def test_simhash_hamming_separation_and_band_recall(spark, planted_dir):
     assert share > prefix
 
 
+@pytest.fixture(scope="module")
+def hard_ann_dir(tmp_path_factory):
+    """Harder ANN corpus: planted neighbors perturbed with ε=0.35 noise
+    so they frequently land across one LSH hyperplane — the regime
+    where single-probe LSH visibly loses recall and the multi-probe /
+    IVF scale paths must win it back."""
+    sf = tmp_path_factory.mktemp("hard_ann_sf")
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((400, 64)).astype(np.float32)
+    for q in range(5):
+        vecs[5 + q] = vecs[q] + 0.35 * rng.standard_normal(64).astype(np.float32)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 400, pa.int32()),
+        }),
+        str(sf / "embeddings.parquet"),
+    )
+    return str(sf)
+
+
+def _recall(df, n_queries: int = 5) -> int:
+    return sum(
+        1 for q in range(n_queries)
+        if ((df["q_id"] == q) & (df["vec_id"] == 5 + q)).any()
+    )
+
+
+def test_multiprobe_and_ivf_beat_single_probe(spark, hard_ann_dir):
+    """Pinned-seed regression of the recall ladder on the hard corpus:
+    measured single-probe 2/5 → multi-probe 4/5 → IVF(nprobe=4) 5/5 =
+    exact 5/5. Deterministic (seeded fixture + exact Spark math)."""
+    single = _recall(registry.QUERIES["ann_lsh_bucketed"](spark, hard_ann_dir).toPandas())
+    multi = _recall(registry.QUERIES["ann_lsh_multiprobe"](spark, hard_ann_dir).toPandas())
+    ivf = _recall(registry.QUERIES["ann_ivf_topk"](spark, hard_ann_dir).toPandas())
+    exact = _recall(registry.QUERIES["ann_bruteforce_topk"](spark, hard_ann_dir).toPandas())
+    assert exact == 5
+    assert multi >= single + 1, f"multi-probe {multi}/5 vs single {single}/5"
+    assert multi >= 4
+    assert ivf >= 4
+
+
 def test_ann_lsh_planted_neighbor_recall(spark, planted_dir):
     sf, _ = planted_dir
     ann = registry.QUERIES["ann_lsh_bucketed"](spark, sf).toPandas()
