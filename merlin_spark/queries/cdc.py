@@ -304,3 +304,70 @@ def udtf_parse_wal(spark, sf_dir):
         "SELECT w.lsn, w.op, w.conv_id, w.turn_idx, w.payload "
         "FROM _wal_lines, LATERAL parse_wal_udtf(line) w"
     )
+
+
+@query(
+    "icebox_time_travel",
+    """SELECT 'v0' AS snap, 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+              CAST(event_id AS INTEGER) AS turn_idx, event_type AS text
+       FROM events WHERE event_id <= 5000
+       UNION ALL
+       SELECT 'v1', 'u' || CAST(user_id AS VARCHAR),
+              CAST(event_id AS INTEGER),
+              CASE WHEN event_id <= 1000 THEN upper(event_type)
+                   ELSE event_type END
+       FROM events""",
+)
+def icebox_time_travel(spark, sf_dir):
+    """The transactional sink itself as a hash-oracled query: build an
+    icebox mor table from `events` in two atomic commits — batch 0
+    inserts event_id ≤ 5000, batch 1 inserts the rest AND re-emits
+    event_id ≤ 1000 as later-(ts,lsn) LWW updates (text uppercased) —
+    then read snapshot v0 (time travel) and the current version. The
+    returned rows therefore hash-verify bucketed writes, atomic
+    snapshot commits, merge-on-read LWW resolution, update-beats-insert
+    ordering, and `VERSION AS OF` isolation against a pure-SQL oracle
+    (sink.py read_version/read_live). Table lives under a
+    deterministic /tmp path, rebuilt from scratch per call."""
+    import shutil
+
+    from ..sink import IceboxSink
+
+    ev = load(spark, sf_dir, "events")
+
+    def as_changelog(df, op, lsn_off=0, ts_shift=0, upper=False):
+        text = F.upper("event_type") if upper else F.col("event_type")
+        return df.select(
+            (F.col("event_id") + lsn_off).alias("lsn"),
+            F.lit(op).alias("op"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            (F.col("ts") + F.expr(f"INTERVAL {ts_shift} HOURS")).alias("ts"),
+            F.lit(None).cast("string").alias("evo_column"),
+            F.lit(None).cast("string").alias("evo_type"),
+            F.lit(None).cast("string").alias("extra"),
+        )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"merlin-ttq-{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    sink = IceboxSink(spark, path, n_buckets=8, mode="mor")
+    batch0 = as_changelog(ev.where(F.col("event_id") <= 5000), "I")
+    batch1 = as_changelog(ev.where(F.col("event_id") > 5000), "I").unionByName(
+        as_changelog(ev.where(F.col("event_id") <= 1000), "U",
+                     lsn_off=1_000_000, ts_shift=1, upper=True)
+    )
+    sink.apply(batch0, 0)
+    sink.apply(batch1, 1)
+    v0 = sink.read_live(man=sink.manifest(0))
+    v1 = sink.read_live()
+    return (
+        v0.select(F.lit("v0").alias("snap"), "conv_id", "turn_idx", "text")
+        .unionByName(
+            v1.select(F.lit("v1").alias("snap"), "conv_id", "turn_idx", "text")
+        )
+        .orderBy("snap", "conv_id", "turn_idx")
+    )

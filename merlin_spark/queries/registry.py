@@ -68,6 +68,7 @@ _FRONT = [
     "sql_view_query",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
+    "icebox_time_travel",
 ]
 
 _BACK = [
@@ -87,6 +88,7 @@ _BACK = [
     "win_running_sum",
     "agg_rollup",
     "agg_cube",
+    "topk_orders",
 ]
 
 

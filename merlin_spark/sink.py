@@ -702,9 +702,17 @@ class IcebergSink:
         rows, evo = route_ops(batch_df)
         evolutions = collect_evolutions(evo)
         for name, ddl in evolutions:
-            self.spark.sql(
-                f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {name} {ddl}"
-            )
+            # Spark SQL has no ADD COLUMN IF NOT EXISTS (the spelling
+            # fails to parse — caught by tests/test_iceberg_sql.py);
+            # idempotence comes from tolerating the already-exists
+            # error on re-application instead
+            try:
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} ADD COLUMNS ({name} {ddl})"
+                )
+            except Exception as e:  # noqa: BLE001 — engine-specific class
+                if "already exist" not in str(e).lower():
+                    raise
         winners = prepare_batch(rows, evolutions)
         winners.createOrReplaceTempView("_merlin_batch")
         # tombstones are RETAINED as rows (op='D'), mirroring the icebox
