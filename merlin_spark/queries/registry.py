@@ -69,6 +69,8 @@ _FRONT = [
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "icebox_time_travel",
+    "agg_tumbling_window",
+    "win_session_window",
 ]
 
 _BACK = [
@@ -89,6 +91,8 @@ _BACK = [
     "agg_rollup",
     "agg_cube",
     "topk_orders",
+    "topk_per_group",
+    "set_intersect",
 ]
 
 

@@ -757,6 +757,66 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "agg_tumbling_window",
+    """SELECT date_trunc('day', ts) AS bucket_start,
+              count(*) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY 1""",
+)
+def agg_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window as a BATCH aggregate (SURVEY.md §2.8
+    family, hash-checkable form): `F.window` is the same expression the
+    streaming path groups on — in batch mode it reduces to a
+    deterministic bucketing, so the window assignment logic itself gets
+    a value-hash oracle (DuckDB date_trunc; both engines bucket 1-day
+    windows at UTC midnight — session timeZone pinned UTC)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "win_session_window",
+    """WITH d AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), g AS (
+         SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS grp
+         FROM d
+       )
+       SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+       FROM g GROUP BY user_id, grp""",
+)
+def win_session_window(spark, sf_dir):
+    """Session window (gap = 1 hour) as a BATCH aggregate — the same
+    `F.session_window` expression the streaming stateful path uses,
+    here against a gaps-and-islands SQL oracle: two events share a
+    session iff the later one starts strictly before prev_ts + gap, so
+    the oracle breaks on `ts - lag(ts) >= gap`. Hash-verifies the
+    session merge semantics that streaming tests can only row-count."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("sess_start"), "n_events"
+        )
+    )
+
+
 @query("agg_percentiles_approx")  # sketch values drift vs any exact oracle
 def agg_percentiles_approx(spark, sf_dir):
     """Approximate percentiles (SURVEY.md §2.4) — the 100 TB companion
