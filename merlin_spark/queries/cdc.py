@@ -150,6 +150,46 @@ def agg_lww_maxby(spark, sf_dir):
     )
 
 
+@query("agg_lww_salted", _LWW_ORACLE)
+def agg_lww_salted(spark, sf_dir):
+    """Two-phase SALTED LWW — the explicit hot-key skew strategy
+    (BASELINE.json:6 "explicit salting"): phase 1 max_by per
+    (key, salt = xxhash64(event_id) % 16) spreads a pathologically hot
+    key across 16 reducers; phase 2 reduces the 16 survivors. max_by is
+    associative, so the SAME oracle as win_lww_dedup/agg_lww_maxby must
+    hash-match — driver-verified equivalence of the skew path
+    (lww.lww_dedup_salted is the engine twin over the changelog
+    schema, pytest-covered in tests/test_skew.py)."""
+    e = load(spark, sf_dir, "events")
+    w = F.max_by(
+        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+    ).alias("_w")
+    p1 = (
+        e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("user_id", "event_type", "_salt")
+        .agg(w)
+        .select(
+            "user_id", "event_type",
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.ts").alias("ts"),
+            F.col("_w.value").alias("value"),
+        )
+    )
+    w2 = F.max_by(
+        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+    ).alias("_w")
+    return (
+        p1.groupBy("user_id", "event_type")
+        .agg(w2)
+        .select(
+            "user_id", "event_type",
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.ts").alias("ts"),
+            F.round("_w.value", 4).alias("value"),
+        )
+    )
+
+
 @query(
     "agg_conv_reassembly",
     """SELECT user_id,

@@ -71,6 +71,7 @@ _FRONT = [
     "icebox_time_travel",
     "agg_tumbling_window",
     "win_session_window",
+    "agg_lww_salted",
 ]
 
 _BACK = [
@@ -93,6 +94,7 @@ _BACK = [
     "topk_orders",
     "topk_per_group",
     "set_intersect",
+    "scalar_string",
 ]
 
 

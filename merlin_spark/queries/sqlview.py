@@ -39,6 +39,29 @@ def sql(spark: SparkSession, sf_dir: str, statement: str) -> DataFrame:
     return spark.sql(statement)
 
 
+# qkeys whose BUILD already executes work (table writes, fixture
+# generation) — excluded from bulk view registration so registering
+# views stays a lazy, side-effect-free operation
+_SIDE_EFFECT_KEYS = {"icebox_time_travel", "binlog_ds_scan"}
+
+
+def register_query_views(spark: SparkSession, sf_dir: str,
+                         keys: list[str] | None = None) -> list[str]:
+    """Expose operator RESULTS as temp views (``q_<qkey>``) so users
+    compose SQL over them — e.g. join the dedup pair list against the
+    text-quality scores. Registration is lazy (DataFrame graphs only;
+    nothing executes until a view is queried). Returns the view names
+    registered."""
+    from .registry import QUERIES
+
+    names = []
+    for k in (keys if keys is not None
+              else [k for k in QUERIES if k not in _SIDE_EFFECT_KEYS]):
+        QUERIES[k](spark, sf_dir).createOrReplaceTempView(f"q_{k}")
+        names.append(f"q_{k}")
+    return names
+
+
 @query("sql_view_query", _SQL)
 def sql_view_query(spark, sf_dir):
     """The SQL entry path end-to-end: views + spark.sql, Catalyst doing
