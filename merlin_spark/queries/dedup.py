@@ -46,9 +46,7 @@ def dedup_exact(spark, sf_dir):
 JACCARD_DF_MAX = 64
 
 
-@query(
-    "dedup_jaccard_pairs",
-    f"""WITH tok AS (
+_JACCARD_ORACLE = f"""WITH tok AS (
          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
          FROM documents WHERE n_chars < 200
        ),
@@ -71,8 +69,10 @@ JACCARD_DF_MAX = 64
        FROM common
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
-       WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5""",
-)
+       WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5"""
+
+
+@query("dedup_jaccard_pairs", _JACCARD_ORACLE)
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact token-set Jaccard via inverted index with a
     document-frequency cap: candidate pairs come only from tokens whose
@@ -115,6 +115,85 @@ def dedup_jaccard_pairs(spark, sf_dir):
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+_CLUSTER_MAX_ITERS = 20  # ≥ max component diameter; near-dup clusters
+# are clique-like (diameter 1-2), so the fixpoint loop exits in 2-3
+# rounds — the bound is a runaway guard, not the expected cost
+
+
+@query(
+    "dedup_cluster_canonical",
+    f"""WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id,
+               least(a, min(b)) AS cluster_id,
+               a = least(a, min(b)) AS is_canonical
+        FROM reach GROUP BY a""",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-duplicate CLUSTERING — the step that turns a pair list into
+    dedup decisions: connected components over the exact-Jaccard pair
+    graph, cluster id = min doc_id in the component, and that doc is
+    the cluster's canonical keeper (every other member is a duplicate
+    to drop). Hash-oracled against a DuckDB recursive-CTE transitive
+    closure over the identical pair SQL.
+
+    Physical strategy: iterative min-label propagation — per round one
+    equi join (edges × labels) + one aggregate, labels
+    localCheckpoint'ed so the plan does not grow with rounds. Rounds =
+    O(max component diameter); near-dup components are clique-like so
+    2-3 rounds suffice at any corpus size (the per-round work is fully
+    distributed — the driver only checks the converged flag). At
+    10^10 docs swap the propagation for the large-star/small-star
+    alternation (same join primitives, O(log n) worst-case rounds)."""
+    p = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = p.unionByName(
+        p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CLUSTER_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("_nb"), "label"),
+                F.col("doc_b") == F.col("_nb"),
+            )
+            .groupBy("doc_a").agg(F.min("label").alias("_nl"))
+        )
+        new = (
+            labels.join(
+                nbr_min.select(F.col("doc_a").alias("_da"), "_nl"),
+                labels["doc_id"] == F.col("_da"), "left",
+            )
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")
 
 
 N_PERM = 32  # minhash permutations

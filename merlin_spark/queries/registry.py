@@ -72,6 +72,7 @@ _FRONT = [
     "agg_tumbling_window",
     "win_session_window",
     "agg_lww_salted",
+    "dedup_cluster_canonical",
 ]
 
 _BACK = [
@@ -95,6 +96,7 @@ _BACK = [
     "topk_per_group",
     "set_intersect",
     "scalar_string",
+    "scalar_datetime",
 ]
 
 
