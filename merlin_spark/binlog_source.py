@@ -91,11 +91,40 @@ def _lsn_range(fp: str) -> tuple[int, int]:
     return (int(lo), int(hi))
 
 
+def _rg_lsn_ranges(fp: str) -> list[tuple[int, int, int]]:
+    """Per-ROW-GROUP lsn bounds from the footer: (rg_idx, lo, hi).
+    A row group without stats gets an infinite range (never pruned)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    j = idx["lsn"]
+    out = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(j).statistics
+        if st is None or not st.has_min_max:
+            out.append((rg, -(2**62), 2**62))
+        else:
+            out.append((rg, int(st.min), int(st.max)))
+    return out
+
+
+def _overlapping_rgs(fp: str, lo_excl: int, hi_incl: int) -> list[int] | None:
+    """Row groups whose lsn range intersects (lo_excl, hi_incl].
+    Returns None when ALL row groups overlap (read the whole file —
+    cheaper than an explicit row-group list)."""
+    ranges = _rg_lsn_ranges(fp)
+    keep = [rg for rg, rlo, rhi in ranges if rhi > lo_excl and rlo <= hi_incl]
+    return None if len(keep) == len(ranges) else keep
+
+
 class _SegmentPartition(InputPartition):
-    def __init__(self, fp: str, lsn_from: int | None, lsn_to: int | None):
+    def __init__(self, fp: str, lsn_from: int | None, lsn_to: int | None,
+                 rgs: list[int] | None = None):
         self.fp = fp
         self.lsn_from = lsn_from
         self.lsn_to = lsn_to
+        self.rgs = rgs  # None → whole file
 
 
 class BinlogBatchReader(DataSourceReader):
@@ -106,13 +135,19 @@ class BinlogBatchReader(DataSourceReader):
 
     def partitions(self):
         parts = []
+        lo_w = self.lsn_from if self.lsn_from is not None else -(2**62)
+        hi_w = self.lsn_to if self.lsn_to is not None else 2**62
         for fp in _segments(self.path):
             lo, hi = _lsn_range(fp)
-            if self.lsn_from is not None and hi < self.lsn_from:
-                continue  # footer-pruned: segment entirely below window
-            if self.lsn_to is not None and lo > self.lsn_to:
-                continue  # entirely above window
-            parts.append(_SegmentPartition(fp, self.lsn_from, self.lsn_to))
+            if hi < lo_w or lo > hi_w:
+                continue  # footer-pruned: segment entirely outside window
+            # sub-file pruning: keep only row groups intersecting the
+            # window (Iceberg/parquet row-group stats pruning below the
+            # file level — matters once segments carry many row groups)
+            rgs = _overlapping_rgs(fp, lo_w - 1, hi_w)
+            if rgs == []:
+                continue
+            parts.append(_SegmentPartition(fp, self.lsn_from, self.lsn_to, rgs))
         # empty dir / fully pruned: Spark requires ≥1 partition only if
         # data exists; an empty list is accepted as an empty relation
         return parts or [_SegmentPartition("", None, None)]
@@ -123,7 +158,11 @@ class BinlogBatchReader(DataSourceReader):
 
         if not partition.fp:
             return iter(())
-        table = pq.read_table(partition.fp, columns=_COLS)
+        pf = pq.ParquetFile(partition.fp, memory_map=True)
+        if partition.rgs is None:
+            table = pf.read(columns=_COLS)
+        else:
+            table = pf.read_row_groups(partition.rgs, columns=_COLS)
         if partition.lsn_from is not None:
             table = table.filter(pc.field("lsn") >= partition.lsn_from)
         if partition.lsn_to is not None:
@@ -132,12 +171,16 @@ class BinlogBatchReader(DataSourceReader):
 
 
 class _StreamSlicePartition(InputPartition):
-    """One segment file × one (lo_excl, hi_incl] LSN window."""
+    """One segment file × one (lo_excl, hi_incl] LSN window, optionally
+    narrowed to a row-group subset (finer scan tasks + sub-file
+    pruning when segments carry multiple row groups)."""
 
-    def __init__(self, fp: str, lo_excl: int, hi_incl: int):
+    def __init__(self, fp: str, lo_excl: int, hi_incl: int,
+                 rgs: list[int] | None = None):
         self.fp = fp
         self.lo_excl = lo_excl
         self.hi_incl = hi_incl
+        self.rgs = rgs  # None → whole file
 
 
 class BinlogStreamReader(DataSourceStreamReader):
@@ -207,12 +250,23 @@ class BinlogStreamReader(DataSourceStreamReader):
         self._floor = max(self._floor, lo)
         self._prev = max(self._prev or 0, lo, hi)
         lo_eff = max(lo, self._floor)
-        parts = [
-            _StreamSlicePartition(fp, lo_eff, hi)
-            for fp in _segments(self.path)
-            for flo, fhi in (_lsn_range(fp),)
-            if fhi > lo_eff and flo <= hi
-        ]
+        parts: list[_StreamSlicePartition] = []
+        for fp in _segments(self.path):
+            flo, fhi = _lsn_range(fp)
+            if not (fhi > lo_eff and flo <= hi):
+                continue
+            # one scan task per overlapping ROW GROUP (when the segment
+            # has several): raises a capped window's scan parallelism
+            # above its segment count and prunes non-overlapping row
+            # groups entirely — the sub-file planning a 256MB+ WAL
+            # segment needs. Single-row-group segments keep one task.
+            rg_ranges = _rg_lsn_ranges(fp)
+            if len(rg_ranges) <= 1:
+                parts.append(_StreamSlicePartition(fp, lo_eff, hi))
+                continue
+            for rg, rlo, rhi in rg_ranges:
+                if rhi > lo_eff and rlo <= hi:
+                    parts.append(_StreamSlicePartition(fp, lo_eff, hi, [rg]))
         return parts or [_StreamSlicePartition("", 0, 0)]
 
     def read(self, partition: _StreamSlicePartition):
@@ -234,7 +288,11 @@ class BinlogStreamReader(DataSourceStreamReader):
 
         def gen():
             pf = pq.ParquetFile(partition.fp, memory_map=True)
-            for rb in pf.iter_batches(batch_size=1 << 17, columns=_COLS):
+            it = (pf.iter_batches(batch_size=1 << 17, columns=_COLS)
+                  if partition.rgs is None else
+                  pf.iter_batches(batch_size=1 << 17, columns=_COLS,
+                                  row_groups=partition.rgs))
+            for rb in it:
                 t = pa.Table.from_batches([rb]).filter(
                     (pc.field("lsn") > lo) & (pc.field("lsn") <= hi)
                 )

@@ -204,8 +204,13 @@ def _event_arrow_schema():
     return _ARROW_EVENT_SCHEMA
 
 
-def write_segments(df: pd.DataFrame, path: str, n_segments: int = 8) -> list[str]:
-    """Write the delivery-ordered changelog as binlog segment files."""
+def write_segments(df: pd.DataFrame, path: str, n_segments: int = 8,
+                   row_group_size: int | None = None) -> list[str]:
+    """Write the delivery-ordered changelog as binlog segment files.
+    ``row_group_size`` forces multiple parquet row groups per segment —
+    used to exercise the binlog source's row-group-level partition
+    splitting / stats pruning (real WAL segments are 256MB+ with many
+    row groups)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -219,7 +224,10 @@ def write_segments(df: pd.DataFrame, path: str, n_segments: int = 8) -> list[str
         table = pa.Table.from_pandas(
             df.iloc[part], schema=schema, preserve_index=False
         )
-        pq.write_table(table, p)
+        if row_group_size:
+            pq.write_table(table, p, row_group_size=row_group_size)
+        else:
+            pq.write_table(table, p)
         paths.append(p)
     return paths
 

@@ -119,6 +119,54 @@ def test_stream_capped_trigger_resumes_by_lsn(spark, tmp_path):
     assert sum(len(set(b)) for b in nonempty) == len(set(all_lsns))
 
 
+def test_row_group_level_stream_partitions(spark, tmp_path):
+    """Segments with several row groups must split into one scan task
+    per OVERLAPPING row group (sub-file parallelism + RG-stats pruning)
+    — and the drained rows must still cover the log exactly."""
+    log = gen_changelog(
+        ChangelogSpec(seed=23, n_events=2000, n_convs=30, n_evo=0,
+                      dup_rate=0.0, ooo_window=0)
+    )
+    path = str(tmp_path / "rg")
+    write_segments(log, path, n_segments=2, row_group_size=250)  # 4 RGs/segment
+    register(spark)
+    seen = {"parts": [], "rows": 0}
+
+    def capture(df, _bid):
+        seen["parts"].append(df.rdd.getNumPartitions())
+        seen["rows"] += df.count()
+
+    q = (
+        spark.readStream.format("merlin_binlog").option("path", path).load()
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert seen["rows"] == len(log)
+    assert max(seen["parts"]) >= 8  # 2 segments × 4 row groups
+
+
+def test_batch_row_group_pruning_in_window(spark, tmp_path):
+    """A narrow LSN window inside ONE multi-row-group segment must
+    still return exactly the window's rows with the row-group subset
+    read path (correctness of read_row_groups + residual filter)."""
+    log = gen_changelog(
+        ChangelogSpec(seed=23, n_events=2000, n_convs=30, n_evo=0,
+                      dup_rate=0.0, ooo_window=0)
+    )
+    path = str(tmp_path / "rgb")
+    write_segments(log, path, n_segments=2, row_group_size=100)
+    register(spark)
+    got = (
+        spark.read.format("merlin_binlog").option("path", path)
+        .option("lsn_from", 150).option("lsn_to", 240).load()
+    )
+    lsns = sorted(r.lsn for r in got.select("lsn").collect())
+    assert lsns == list(range(150, 241))
+
+
 def test_stream_capped_restart_no_redelivery(spark, tmp_path):
     """ADVICE r2: a RESTARTED capped reader's rate-limit position counts
     from 0, so its first planned offsets sit below the checkpoint while
