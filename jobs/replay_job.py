@@ -29,51 +29,6 @@ from merlin_spark.session import configure
 from merlin_spark.stream import StreamConfig, replay
 
 
-def _committed_source_lsn(ckpt: str) -> int:
-    """Highest COMMITTED source offset from the streaming checkpoint
-    (cheap file poll). Not the sink manifest's lsn_hi: that records the
-    max lsn among LWW *winners*, and the log's tail event can lose LWW
-    to an earlier-lsn/later-ts event on the same key — the checkpoint
-    offset is the only signal that the source position itself drained."""
-    import glob
-    import os
-
-    commits = glob.glob(os.path.join(ckpt, "commits", "[0-9]*"))
-    if not commits:
-        return -1
-    b = max(int(os.path.basename(p)) for p in commits)
-    try:
-        with open(os.path.join(ckpt, "offsets", str(b))) as f:
-            last = f.read().strip().splitlines()[-1]
-        return int(json.loads(last)["lsn"])
-    except (OSError, ValueError, KeyError, IndexError):
-        return -1
-
-
-def _drain_capped_binlog(spark, cfg: StreamConfig, args) -> None:
-    """Bounded replay under LSN admission control: availableNow plans
-    one giant batch for Python stream sources, so capped replay drives
-    a processingTime tail and stops once the checkpoint has committed
-    the log's max lsn (read from segment footers — metadata only)."""
-    from merlin_spark.binlog_source import _lsn_range, _segments
-    from merlin_spark.stream import run_stream
-
-    target = max(_lsn_range(fp)[1] for fp in _segments(cfg.log_path))
-    cfg.processing_time = "0 seconds"
-    q = run_stream(spark, cfg)
-    deadline = time.monotonic() + 3600
-    while time.monotonic() < deadline:
-        if _committed_source_lsn(cfg.checkpoint_path) >= target:
-            break
-        if not q.isActive:
-            raise RuntimeError(f"stream died: {q.exception()}")
-        time.sleep(0.2)
-    else:
-        raise TimeoutError("capped binlog replay did not reach the log tail")
-    q.stop()
-    q.awaitTermination(60)
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", required=True, help="changelog directory")
@@ -98,10 +53,10 @@ def main() -> None:
                          "binlog = custom merlin_binlog DataSource "
                          "(LSN-position offsets, Debezium/WAL model)")
     ap.add_argument("--max-lsn-per-trigger", type=int, default=None,
-                    help="binlog admission control; with it set the job "
-                         "drives a processingTime tail to completion "
-                         "(availableNow plans ONE batch for Python "
-                         "stream sources — no admission control)")
+                    help="binlog admission control; replay() drives a "
+                         "processingTime tail to the log's max lsn "
+                         "(availableNow would fall back to ONE capped "
+                         "batch for Python stream sources)")
     ap.add_argument("--cores", type=int, default=None,
                     help="parallelism hint for shuffle sizing (defaults to "
                          "sparkContext.defaultParallelism)")
@@ -143,10 +98,9 @@ def main() -> None:
 
     prewarm_python_workers(spark)  # worker fork + imports ≠ replay cost
     t0 = time.monotonic()
-    if args.source_format == "binlog" and args.max_lsn_per_trigger:
-        _drain_capped_binlog(spark, cfg, args)
-    else:
-        replay(spark, cfg, timeout_s=3600.0)
+    # replay() owns the capped-binlog drain internally (stream.py) —
+    # availableNow's single-batch fallback never under-applies the log
+    replay(spark, cfg, timeout_s=3600.0)
     sink = IceboxSink(spark, args.table, args.n_buckets)
     if args.compact:
         sink.compact()

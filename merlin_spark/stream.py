@@ -129,10 +129,70 @@ def run_stream(spark: SparkSession, cfg: StreamConfig) -> StreamingQuery:
     return writer.start()
 
 
+def _committed_source_lsn(ckpt: str) -> int:
+    """Highest COMMITTED source offset from the streaming checkpoint
+    (cheap file poll). Not the sink manifest's lsn_hi: that records the
+    max lsn among LWW *winners*, and the log's tail event can lose LWW
+    to an earlier-lsn/later-ts event on the same key — the checkpoint
+    offset is the only signal that the source position itself drained."""
+    import glob
+    import json
+    import os
+
+    commits = glob.glob(os.path.join(ckpt, "commits", "[0-9]*"))
+    if not commits:
+        return -1
+    b = max(int(os.path.basename(p)) for p in commits)
+    try:
+        with open(os.path.join(ckpt, "offsets", str(b))) as f:
+            last = f.read().strip().splitlines()[-1]
+        return int(json.loads(last)["lsn"])
+    except (OSError, ValueError, KeyError, IndexError):
+        return -1
+
+
+def _drain_capped_binlog(spark: SparkSession, cfg: StreamConfig,
+                         timeout_s: float) -> None:
+    """Bounded replay under LSN admission control. availableNow plans
+    ONE batch for Python stream sources (engine fallback, warned at
+    runtime) — with a cap configured that single batch covers only the
+    FIRST window and the query stops with the log silently
+    under-applied. Capped replay therefore drives a processingTime
+    tail and stops once the checkpoint has committed the log's max lsn
+    (read from segment footers — metadata only)."""
+    import time
+
+    from .binlog_source import _lsn_range, _segments
+
+    target = max(_lsn_range(fp)[1] for fp in _segments(cfg.log_path))
+    q = run_stream(spark, cfg)
+    deadline = time.monotonic() + timeout_s
+    try:
+        while time.monotonic() < deadline:
+            if _committed_source_lsn(cfg.checkpoint_path) >= target:
+                return
+            if not q.isActive:
+                raise RuntimeError(f"stream died: {q.exception()}")
+            time.sleep(0.2)
+        raise TimeoutError(
+            f"capped binlog replay did not reach lsn {target} in {timeout_s}s"
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(60)
+
+
 def replay(spark: SparkSession, cfg: StreamConfig, timeout_s: float = 600.0) -> None:
     """Bounded replay to convergence: drain whatever is in the log,
     then stop. Crash-resumable: rerun with the same checkpoint/table
-    paths and it continues from the failed batch."""
+    paths and it continues from the failed batch.
+
+    With the binlog source under ``max_lsn_per_trigger`` the
+    availableNow trigger cannot be used (single-batch fallback would
+    apply ONE capped window and stop — silent partial replay); replay
+    transparently switches to a processingTime drain that stops at the
+    log's tail lsn, so callers get full-log semantics either way."""
     from .lineage import make_metrics_listener
 
     # per-micro-batch metrics via listener (uncapped), not
@@ -140,6 +200,25 @@ def replay(spark: SparkSession, cfg: StreamConfig, timeout_s: float = 600.0) -> 
     # silently lose the early batches)
     listener = make_metrics_listener(cfg.table_path, "merlin-cdc-apply")
     spark.streams.addListener(listener)
+    if (cfg.source_format == "binlog" and cfg.max_lsn_per_trigger
+            and not cfg.processing_time):
+        import dataclasses
+
+        capped = dataclasses.replace(cfg, processing_time="0 seconds")
+        try:
+            _drain_capped_binlog(spark, capped, timeout_s)
+            # listener events arrive on a separate dispatch thread —
+            # same stability drain as the availableNow path below
+            import time
+
+            seen, stable_since = -1, time.monotonic()
+            while time.monotonic() - stable_since < 0.5:
+                if listener.n_events != seen:
+                    seen, stable_since = listener.n_events, time.monotonic()
+                time.sleep(0.05)
+        finally:
+            spark.streams.removeListener(listener)
+        return
     q = run_stream(spark, cfg)
     try:
         if not q.awaitTermination(timeout_s):

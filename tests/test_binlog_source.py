@@ -283,6 +283,39 @@ def test_binlog_source_through_real_sink_converges(spark, tmp_path):
     pd.testing.assert_series_equal(got2["text"], exp2["text"], check_names=False)
 
 
+def test_capped_binlog_replay_applies_whole_log(spark, tmp_path):
+    """replay() + binlog source + max_lsn_per_trigger must converge on
+    the FULL log. Regression: availableNow falls back to single-batch
+    for Python stream sources, so a capped replay used to apply only
+    the first window and report success — replay() now drives a
+    processingTime drain to the log's tail lsn internally."""
+    from merlin_spark.apply import table_view
+    from merlin_spark.oracle import expected_state
+    from merlin_spark.sink import IceboxSink
+    from merlin_spark.stream import StreamConfig, replay
+
+    log = gen_changelog(ChangelogSpec(seed=37, n_events=4000, n_convs=50,
+                                      dup_rate=0.05, n_evo=1))
+    write_segments(log, str(tmp_path / "log"), n_segments=8,
+                   row_group_size=300)
+    cfg = StreamConfig(
+        log_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink_mode="mor",
+        source_format="binlog",
+        max_lsn_per_trigger=1000,  # forces ≥4 capped windows
+    )
+    replay(spark, cfg, timeout_s=180)
+    got = (
+        table_view(IceboxSink(spark, cfg.table_path).read(), None)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = expected_state(log).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+
+
 def test_stream_tail_lsn_offsets(spark, tmp_path):
     log, path = _mk_log(tmp_path)
     register(spark)
