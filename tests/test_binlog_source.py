@@ -5,6 +5,7 @@ and LSN-offset streaming (the WAL-tail checkpoint model)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from merlin_spark.binlog_source import register
 from merlin_spark.changelog import read_batch
@@ -313,6 +314,40 @@ def test_capped_binlog_replay_applies_whole_log(spark, tmp_path):
     )
     exp = expected_state(log).reset_index(drop=True)
     assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+
+
+def test_capped_binlog_replay_crash_resume(spark, tmp_path):
+    """Crash injected mid-capped-replay must propagate out of the
+    drain loop; a rerun with the same checkpoint/table resumes from the
+    committed LSN offset and converges exactly (no re-delivery below
+    the delivery floor, no lost windows)."""
+    from merlin_spark.apply import table_view
+    from merlin_spark.oracle import expected_state
+    from merlin_spark.sink import IceboxSink
+    from merlin_spark.stream import StreamConfig, replay
+
+    log = gen_changelog(ChangelogSpec(seed=55, n_events=4000, n_convs=60,
+                                      dup_rate=0.05, n_evo=1))
+    write_segments(log, str(tmp_path / "log"), n_segments=8,
+                   row_group_size=300)
+    base = dict(
+        log_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink_mode="mor",
+        source_format="binlog",
+        max_lsn_per_trigger=1000,
+    )
+    with pytest.raises(Exception, match="injected crash|STREAM_FAILED"):
+        replay(spark, StreamConfig(**base, fail_after_batch=1), timeout_s=120)
+    replay(spark, StreamConfig(**base), timeout_s=120)
+    got = (
+        table_view(IceboxSink(spark, base["table_path"]).read(), None)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = expected_state(log).reset_index(drop=True)
+    assert len(got) == len(exp)
     pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
 
 
