@@ -200,7 +200,11 @@ class IceboxSink:
         if not files:
             return self.spark.createDataFrame([], self.schema(man))
         df = self.spark.read.schema(self.schema(man)).parquet(*files)
-        if man.get("mode", self.mode) == "mor":
+        # a compacted snapshot is RESOLVED (one version per key — the
+        # manifest says so), so the LWW pass would be an identity that
+        # still costs a full key-hash shuffle per read: skip it. Any
+        # later mor append clears the flag (see _commit).
+        if man.get("mode", self.mode) == "mor" and not man.get("resolved"):
             from .apply import as_pseudo_events, to_stored
             from .lww import lww_dedup
 
@@ -334,7 +338,8 @@ class IceboxSink:
 
     def _commit(self, man: dict, new_files: dict[str, list[str]],
                 batch_id: int, lsn_lo, lsn_hi, n_rows: int,
-                append: bool = False, pre_stats: dict | None = None) -> dict:
+                append: bool = False, pre_stats: dict | None = None,
+                resolved: bool = False) -> dict:
         """Atomic snapshot swap. POSIX rename gives all-or-nothing
         visibility; a crash before the rename leaves only unreferenced
         staged files (GC'd by vacuum()).
@@ -376,6 +381,10 @@ class IceboxSink:
             "files": files,
             "file_stats": file_stats,
             "mode": self.mode,
+            # True only for rewrite (compact) commits: every key has
+            # exactly one version, so reads may skip LWW resolution.
+            # Appends clear it; cow reads never resolve anyway.
+            "resolved": bool(resolved),
             "lsn_hi": int(lsn_hi) if lsn_hi is not None else man.get("lsn_hi", -1),
             "lsn_lo_batch": int(lsn_lo) if lsn_lo is not None else None,
             "total_rows": int(n_rows),
@@ -624,7 +633,7 @@ class IceboxSink:
         for b in all_buckets:
             new_files.setdefault(str(b), [])
         return self._commit(man, new_files, man["batch_id"], None, man.get("lsn_hi"),
-                            man.get("total_rows", 0))
+                            man.get("total_rows", 0), resolved=True)
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Delete all but the newest ``keep_last`` snapshot manifests

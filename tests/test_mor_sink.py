@@ -240,3 +240,30 @@ def test_time_travel_and_rollback(spark, tmp_path, log):
     )
     replay(spark, cfg2, timeout_s=240)
     _assert_state(_final(spark, cfg.table_path), expected_state(log))
+
+
+def test_compacted_read_skips_lww_resolution(spark, tmp_path, log):
+    """After compact() every key has one version — the manifest marks
+    the snapshot `resolved` and reads must SKIP the LWW key-hash
+    shuffle (identity work on compacted data). A later append clears
+    the flag and reads resolve again; state is identical throughout."""
+    write_segments(log, str(tmp_path / "log"), n_segments=4)
+    replay(spark, _cfg(tmp_path))
+    sink = IceboxSink(spark, str(tmp_path / "table"))
+    pre = _final(spark, str(tmp_path / "table"))
+
+    sink.compact()
+    assert sink.manifest()["resolved"] is True
+    plan = sink.read()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan, "resolved read still pays the LWW aggregate"
+    _assert_state(_final(spark, str(tmp_path / "table")), pre)
+
+    # new mor append → no longer single-version → flag cleared
+    from tests.test_sink_concurrency import _events
+
+    sink.apply(_events(spark, "I", 10**6, "2025-06-01", conv="convNEW"), 10**6)
+    assert sink.manifest()["resolved"] is False
+    plan2 = sink.read()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan2
+    got = _final(spark, str(tmp_path / "table"))
+    assert (got["conv_id"] == "convNEW").sum() == 5
