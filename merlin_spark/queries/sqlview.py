@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io_util import TABLES, load
-from .registry import query
+from .base import query
 
 _SQL = """
     SELECT n_name,
@@ -52,7 +52,7 @@ def register_query_views(spark: SparkSession, sf_dir: str,
     text-quality scores. Registration is lazy (DataFrame graphs only;
     nothing executes until a view is queried). Returns the view names
     registered."""
-    from .registry import QUERIES
+    from .base import QUERIES
 
     names = []
     for k in (keys if keys is not None

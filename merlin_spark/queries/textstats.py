@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io_util import load
-from .registry import query
+from .base import query
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"

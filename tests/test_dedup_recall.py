@@ -102,9 +102,10 @@ def test_simhash_hamming_separation_and_band_recall(spark, planted_dir):
     # 8×8-bit multi-band blocking: guaranteed recall at hamming ≤7
     # (pigeonhole), probabilistic just above — planted pairs must share
     # at least one band key almost always
+    band_cols = [f"band{i}" for i in range(8)]
     share = sum(
         1 for a, b in pairs
-        if set(sh.loc[a, "bands8"]) & set(sh.loc[b, "bands8"])
+        if set(sh.loc[a, band_cols]) & set(sh.loc[b, band_cols])
     ) / len(pairs)
     assert share >= 0.9, f"band-blocking recall {share}"
     # the coarse 16-bit prefix alone is NOT a recall mechanism — record

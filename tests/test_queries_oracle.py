@@ -27,6 +27,12 @@ def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
 
 def _canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)].copy()
+    # Mirror the driver exactly: it sort_values over ALL columns, which
+    # RAISES TypeError on unhashable list/dict cells. r3's local mirror
+    # stringified lists instead, masking the driver crash that zeroed
+    # dedup_simhash/mm_embed_binary signal — do NOT soften this again
+    # (tests/test_registry_lint.py is the schema-level guard).
+    df = df.sort_values(by=list(df.columns))
     rows = []
     for row in df.itertuples(index=False):
         vals = []
@@ -39,8 +45,6 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
                 vals.append(f"{float(v):.4f}")
             elif isinstance(v, pd.Timestamp):
                 vals.append(v.isoformat())
-            elif isinstance(v, (list, np.ndarray)):
-                vals.append(str(list(v)))
             else:
                 vals.append(str(v))
         rows.append(tuple(vals))

@@ -33,3 +33,32 @@ def test_only_back_keys_outside_window():
 def test_oracle_order_follows_query_order():
     qorder = [k for k in QUERIES if k in ORACLE_SQL]
     assert qorder == list(ORACLE_SQL)
+
+
+def test_window_independent_of_import_order():
+    """ADVICE r3 #1: importing a query submodule BEFORE registry used to
+    append its keys after the rotation ran, pushing _FRONT keys out of
+    the 50-row driver window. The decorator now lives in `base` (no
+    back-import) and registry rotates the full set itself, so the
+    window must be identical whichever module a consumer imports first.
+    Fresh interpreter per order — in-process module caching would mask
+    the bug this test pins."""
+    import subprocess
+    import sys
+
+    def window(first_import: str) -> list[str]:
+        code = (
+            f"import {first_import}\n"
+            "from merlin_spark.queries import registry\n"
+            "print('\\n'.join(list(registry.QUERIES)[:registry.DRIVER_WINDOW]))\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            check=True, cwd=__file__.rsplit("/tests/", 1)[0],
+        )
+        return out.stdout.strip().splitlines()
+
+    registry_first = window("merlin_spark.queries.registry")
+    submodule_first = window("merlin_spark.queries.multimodal")
+    assert registry_first == submodule_first
+    assert len(registry_first) == DRIVER_WINDOW
