@@ -1,5 +1,8 @@
 #!/usr/bin/env python3
-"""Bench harness — prints ONE JSON line on stdout (driver contract).
+"""Bench harness — prints ONE compact JSON line on stdout (driver
+contract; the driver tail-captures ~2000 chars, so the per-query timing
+map lives in a file under BENCH/, NOT inline — r3's inline map overflowed
+the capture and the whole round's metrics went unparsed).
 
 Two measurements (BASELINE.json:2 metric definition, SURVEY.md §6):
 
@@ -8,17 +11,29 @@ Two measurements (BASELINE.json:2 metric definition, SURVEY.md §6):
    replay it through the real streaming path — ``readStream`` →
    ``foreachBatch`` → IceboxSink transactional MERGE — with
    ``trigger(availableNow=True)`` until converged. Reports wall-time and
-   change-events/sec.
+   change-events/sec. Each repeat is PROBE-GATED (VERDICT r3 task #4):
+   the host-health probe (bench/host_probe.py) runs before each rep; a
+   rep only counts toward best-of when the 8-proc copy-bandwidth probe
+   clears ``MERLIN_BENCH_PROBE_FLOOR`` GB/s (this sandbox's bandwidth
+   swings ~60× minute-to-minute — BENCH/BASELINE.md host-noise dossier).
+   If no window clears after bounded retries, best-of-all is reported
+   and ``quiet: false`` tags the line.
 2. **Headline queries**: every `queries()` qkey at ``$SPARK_GRAFT_SF_DIR``
    (default /root/testdata/sf0.1), each forced via the noop writer (full
-   execution, no driver collect), per-query seconds in ``queries``.
+   execution, no driver collect); per-query seconds written to
+   ``BENCH/queries_{tag}.json``.
 
 Env knobs:
-  SPARK_GRAFT_SF_DIR   testdata dir            (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS     local[N] parallelism    (default: all cores)
-  MERLIN_BENCH_EVENTS  changelog size          (default 2_000_000)
-  MERLIN_BENCH_QUERIES comma-list filter       (default: all registered)
-  MERLIN_SKIP_REPLAY   "1" → queries only
+  SPARK_GRAFT_SF_DIR        testdata dir         (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS          local[N] parallelism (default: all cores)
+  MERLIN_BENCH_EVENTS       changelog size       (default 2_000_000)
+  MERLIN_BENCH_QUERIES      comma-list filter    (default: all registered)
+  MERLIN_SKIP_REPLAY        "1" → queries only
+  MERLIN_BENCH_REPEATS      measured reps        (default 3)
+  MERLIN_BENCH_PROBE_FLOOR  quiet-window GB/s    (default 10.0; 0 disables)
+  MERLIN_BENCH_PROBE_TRIES  probes per rep       (default 6)
+  MERLIN_BENCH_PROBE_WAIT   secs between probes  (default 15)
+  MERLIN_BENCH_TAG          BENCH/queries_<tag>.json name (default r04)
 """
 
 from __future__ import annotations
@@ -30,7 +45,11 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.join(_HERE, "bench"))
+
+from host_probe import probe  # noqa: E402
 
 from merlin_spark.fixtures import gen_changelog_spark  # noqa: E402
 from merlin_spark.session import get_spark  # noqa: E402
@@ -46,6 +65,20 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _gated_probe(floor: float, tries: int, wait_s: float) -> tuple[dict, bool]:
+    """Probe the host until the copy-bandwidth floor clears or patience
+    runs out. Returns (last probe dict, cleared?)."""
+    last: dict = {}
+    for attempt in range(max(1, tries)):
+        last = probe(spin_s=1.0, bw_s=1.5)
+        if floor <= 0 or (last.get("copy_bw_gbs") or 0) >= floor:
+            return last, True
+        _log(f"[bench] host noisy (probe {last.get('copy_bw_gbs')} GB/s "
+             f"< floor {floor}); retry {attempt + 1}/{tries} in {wait_s}s")
+        time.sleep(wait_s)
+    return last, False
+
+
 def run_replay_bench(spark, n_events: int, cpus: int) -> dict:
     # tmpfs workdir when available: in local mode the single shared
     # virtual disk is an artifact of the sandbox (a real cluster's
@@ -54,6 +87,9 @@ def run_replay_bench(spark, n_events: int, cpus: int) -> dict:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="merlin-bench-", dir=shm)
     log_path = os.path.join(work, "changelog")
+    floor = float(os.environ.get("MERLIN_BENCH_PROBE_FLOOR", "10.0"))
+    tries = int(os.environ.get("MERLIN_BENCH_PROBE_TRIES", "6"))
+    wait_s = float(os.environ.get("MERLIN_BENCH_PROBE_WAIT", "15"))
     try:
         n_convs = max(1000, n_events // 500)  # ~500 events/conversation
         n_segments = max(32, cpus * 2)
@@ -73,8 +109,9 @@ def run_replay_bench(spark, n_events: int, cpus: int) -> dict:
         from merlin_spark.session import prewarm_python_workers
 
         prewarm_python_workers(spark)  # worker fork + imports ≠ replay cost
-        walls = []
-        for rep in range(repeats):  # best-of: shared sandbox VM is noisy
+        reps: list[dict] = []
+        for rep in range(repeats):
+            pr, cleared = _gated_probe(floor, tries, wait_s)
             cfg = StreamConfig(
                 log_path=log_path,
                 table_path=os.path.join(work, f"table{rep}"),
@@ -92,19 +129,26 @@ def run_replay_bench(spark, n_events: int, cpus: int) -> dict:
                 from merlin_spark.sink import IceboxSink
 
                 IceboxSink(spark, cfg.table_path, cfg.n_buckets).compact()
-            walls.append(time.monotonic() - t0)
-            _log(f"[bench] replay rep{rep}: {walls[-1]:.1f}s")
+            wall = time.monotonic() - t0
+            reps.append({"wall_sec": round(wall, 3), "quiet": cleared,
+                         "probe": pr})
+            _log(f"[bench] replay rep{rep}: {wall:.1f}s "
+                 f"(probe {pr.get('copy_bw_gbs')} GB/s, quiet={cleared})")
             shutil.rmtree(cfg.table_path, ignore_errors=True)
             shutil.rmtree(cfg.checkpoint_path, ignore_errors=True)
-        replay_s = min(walls)
-        _log(f"[bench] best replay {replay_s:.1f}s → {n_events / replay_s:.0f} events/s")
+        quiet_reps = [r for r in reps if r["quiet"]]
+        pool = quiet_reps or reps
+        best = min(pool, key=lambda r: r["wall_sec"])
         return {
-            "replay_sec": round(replay_s, 3),
-            "replay_sec_all": [round(w, 3) for w in walls],
+            "replay_sec": best["wall_sec"],
+            "events_per_sec": round(n_events / best["wall_sec"], 1),
             "sink_mode": sink_mode,
-            "events_per_sec": round(n_events / replay_s, 1),
             "n_events": n_events,
-            "gen_sec": round(gen_s, 3),
+            "quiet": bool(quiet_reps),
+            "probe_gbs": best["probe"].get("copy_bw_gbs"),
+            # full per-rep detail goes to the BENCH/ file, not stdout
+            "_reps": reps,
+            "_gen_sec": round(gen_s, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -114,11 +158,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
     n_events = int(os.environ.get("MERLIN_BENCH_EVENTS", "2000000"))
+    tag = os.environ.get("MERLIN_BENCH_TAG", "r04")
 
     spark = get_spark("merlin-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    replay_stats = {}
+    replay_stats: dict = {}
     if os.environ.get("MERLIN_SKIP_REPLAY") != "1":
         replay_stats = run_replay_bench(spark, n_events, cpus)
 
@@ -139,16 +184,37 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # per-query map + per-rep probe detail → file (driver tail capture
+    # is ~2000 chars; stdout stays compact)
+    qfile = os.path.join(_HERE, "BENCH", f"queries_{tag}.json")
+    os.makedirs(os.path.dirname(qfile), exist_ok=True)
+    with open(qfile, "w") as f:
+        json.dump(
+            {
+                "queries": qtimes,
+                "sf": sf,
+                "cpus": cpus,
+                "replay_reps": replay_stats.get("_reps"),
+                "gen_sec": replay_stats.get("_gen_sec"),
+            },
+            f,
+            indent=1,
+        )
+
     out = {
         "metric": "cdc_replay_wall_time",
         "value": replay_stats.get("replay_sec", round(sum(qtimes.values()), 3)),
         "unit": "sec",
-        "queries": qtimes,
         "sf": sf,
         "cpus": cpus,
-        **replay_stats,
+        "queries_sec_total": round(sum(qtimes.values()), 3),
+        "queries_n": len(qtimes),
+        "queries_file": os.path.relpath(qfile, _HERE),
+        **{k: v for k, v in replay_stats.items() if not k.startswith("_")},
     }
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out)
+    assert len(line) < 1500, f"stdout line too long ({len(line)} chars)"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

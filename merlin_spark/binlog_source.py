@@ -214,16 +214,22 @@ class BinlogStreamReader(DataSourceStreamReader):
         # fresh start, so a new reader cannot tell fresh from restart at
         # its first call and the cap counts from 0 either way. Fresh
         # starts are exact (the start offset IS 0). After a RESTART the
-        # first capped offsets may sit BELOW the checkpointed position
-        # while _prev climbs back — those entries in the engine's offset
-        # log are the one cosmetic artifact left. What does NOT happen
-        # (anymore) is re-delivery: partitions() records every
-        # engine-provided batch START in self._floor (a start is always
-        # a committed position — on restart the very first planning call
-        # carries the true checkpointed LSN) and clamps every slice's
-        # exclusive lower bound to it, so climb-back windows below the
-        # floor deliver zero rows to ANY consumer, LWW or not, and _prev
-        # snaps to the floor so the climb-back is a single empty batch.
+        # FIRST capped planning call may emit an end BELOW the
+        # checkpointed position (floor still unknown); every later call
+        # clamps its end to the floor partitions() learned from the
+        # engine-provided batch start, so at most ONE regressed offset
+        # entry ever exists in the engine's log. Delivery: partitions()
+        # clamps every slice's exclusive lower bound to the floor, so
+        # climb-back windows deliver zero rows. Redelivery semantics are
+        # therefore BOUNDED, not zero (ADVICE r3 #3): if the process
+        # crashes after committing that one regressed batch and before
+        # the next commit, the restarted reader adopts the regressed
+        # start as its floor and re-delivers at most one cap-window of
+        # already-applied lsns — absorbed by the idempotent LWW sink;
+        # non-LWW consumers need an idempotent/dedup sink of their own
+        # (the Python DataSource API offers no place to persist the
+        # floor across processes, and the source must not write to the
+        # log directory it tails).
         self._prev: int | None = None
         self._floor = 0  # highest engine-provided committed start seen
 
@@ -237,6 +243,12 @@ class BinlogStreamReader(DataSourceStreamReader):
             hi = max(hi, _lsn_range(fp)[1])
         if self.max_lsn_per_trigger is not None:
             hi = min(hi, (self._prev or 0) + self.max_lsn_per_trigger)
+        # never plan an end below a committed start once partitions()
+        # has revealed one: keeps offset regressions out of the engine
+        # log for every call after the first, shrinking the
+        # crash-redelivery exposure to at most one capped window (see
+        # __init__ comment / ADVICE r3 #3)
+        hi = max(hi, self._floor)
         self._prev = max(hi, self._prev or 0)
         return {"lsn": self._prev}
 

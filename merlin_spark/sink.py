@@ -383,8 +383,16 @@ class IceboxSink:
             "mode": self.mode,
             # True only for rewrite (compact) commits: every key has
             # exactly one version, so reads may skip LWW resolution.
-            # Appends clear it; cow reads never resolve anyway.
-            "resolved": bool(resolved),
+            # Appends clear it — EXCEPT a no-op commit (empty mor
+            # micro-batch / empty-batch ledger entry) which adds no
+            # files and therefore carries the parent's flag forward: a
+            # compacted table stays single-version across empty batches
+            # (ADVICE r3 #2 — forcing False silently reinstated the
+            # identity LWW shuffle on every read after any empty batch).
+            # cow reads never resolve anyway.
+            "resolved": bool(resolved) or (
+                not new_files and bool(man.get("resolved"))
+            ),
             "lsn_hi": int(lsn_hi) if lsn_hi is not None else man.get("lsn_hi", -1),
             "lsn_lo_batch": int(lsn_lo) if lsn_lo is not None else None,
             "total_rows": int(n_rows),

@@ -164,7 +164,14 @@ def _drain_capped_binlog(spark: SparkSession, cfg: StreamConfig,
 
     from .binlog_source import _lsn_range, _segments
 
-    target = max(_lsn_range(fp)[1] for fp in _segments(cfg.log_path))
+    segs = list(_segments(cfg.log_path))
+    if not segs:
+        # empty log: nothing to drain — mirror the uncapped replay
+        # path, which terminates gracefully on an empty directory
+        # instead of raising (ADVICE r3 #4: bare max() ValueError made
+        # replay() behavior diverge by config on the same input)
+        return
+    target = max(_lsn_range(fp)[1] for fp in segs)
     q = run_stream(spark, cfg)
     deadline = time.monotonic() + timeout_s
     try:

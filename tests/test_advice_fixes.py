@@ -107,3 +107,69 @@ def test_agg_pivot_absent_cells_match_oracle(spark, tmp_path):
     assert _canon(got) == _canon(exp)
     f_row = got[got["o_orderstatus"] == "F"].iloc[0]
     assert f_row["urgent_n"] == 0  # coalesced, not NULL
+
+
+# ---------------------------------------------------------------- round-4
+# Regression tests for the round-3 advisories (ADVICE.md r3 #2-#4).
+
+
+def test_empty_commit_carries_resolved_flag_forward(spark, tmp_path):
+    """ADVICE r3 #2: a no-op commit after compact() must NOT clear the
+    manifest's `resolved` flag — the table is still single-version, and
+    clearing it silently reinstated the identity LWW shuffle on reads."""
+    sink = IceboxSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    sink.apply(_events(spark, "I", 1, "2025-01-01", conv="convA"), 0)
+    sink.compact()
+    assert sink.manifest()["resolved"] is True
+
+    empty = _events(spark, "I", 1, "2025-01-01").limit(0)
+    sink.apply(empty, 1)  # empty micro-batch → ledger-only commit
+    man = sink.manifest()
+    assert man["resolved"] is True, (
+        "empty commit cleared `resolved` on a still-single-version table"
+    )
+    # a REAL append must still clear it (new versions layer on top)
+    sink.apply(_events(spark, "U", 2, "2025-01-02", conv="convA"), 2)
+    assert sink.manifest()["resolved"] is False
+
+
+def test_capped_latest_offset_never_regresses_below_floor(tmp_path):
+    """ADVICE r3 #3: after partitions() reveals the committed start, a
+    capped latestOffset must clamp to it — at most the FIRST post-restart
+    planning call may emit a regressed end, so at most one regressed
+    entry ever sits in the engine's offset log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from merlin_spark.binlog_source import BinlogStreamReader
+
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(
+        pa.table({"lsn": list(range(1, 1001))}),
+        str(log / "seg-000.parquet"),
+    )
+    r = BinlogStreamReader({"path": str(log), "max_lsn_per_trigger": "50"})
+    first = r.latestOffset()["lsn"]
+    assert first == 50  # restart-blind first call counts from 0 (known)
+    # engine now plans the replayed batch with the checkpointed start
+    r.partitions({"lsn": 700}, {"lsn": first})
+    # every subsequent planning call must clamp to the committed floor
+    assert r.latestOffset()["lsn"] >= 700
+
+
+def test_capped_replay_empty_log_is_graceful(spark, tmp_path):
+    """ADVICE r3 #4: capped binlog replay of an EMPTY log directory must
+    return like the uncapped path does, not raise max()-of-empty."""
+    from merlin_spark.stream import StreamConfig, replay
+
+    log = tmp_path / "log"
+    log.mkdir()
+    cfg = StreamConfig(
+        log_path=str(log),
+        table_path=str(tmp_path / "t"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source_format="binlog",
+        max_lsn_per_trigger=100,
+    )
+    replay(spark, cfg, timeout_s=60.0)  # must not raise
