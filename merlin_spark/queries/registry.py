@@ -72,8 +72,12 @@ _FRONT = [
     "wal_parse_builtin",
     "agg_sliding_window",
     "asof_join_tolerance",
-    # rotated out in r3 (green r1+r2) — third confirmation round
-    "scan_lineitem",
+    "ann_ivf_kmeans",
+    # rotated out in r3 (green r1+r2) — third confirmation round.
+    # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
+    # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
+    # and MUST return to _FRONT in r5 per the two-consecutive-rounds
+    # cap.)
     "project_orders",
     "filter_lineitem_date",
     "join_broadcast_dim",
@@ -96,6 +100,9 @@ _FRONT = [
 ]
 
 _BACK = [
+    # green r1+r2, displaced from the third-confirmation group by the
+    # new ann_ivf_kmeans — bring back in r5 (see _FRONT note)
+    "scan_lineitem",
     # hash-green in r3 AND r2 (most thrice-green r1+r2+r3)
     "join_smj_orders_lineitem",
     "join_salted_skew",

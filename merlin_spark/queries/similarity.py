@@ -179,40 +179,37 @@ K_CELLS = 16  # IVF codebook size at this fixture scale
 NPROBE = 4  # cells probed per query
 
 
-def _cell_dots(emb_col: str):
-    """Array of <centroid, emb> dot products against the K_CELLS
-    deterministic pseudo-centroids (hash-derived unit-free directions —
-    the stand-in for a trained k-means codebook, which at scale you
-    would fit offline with MLlib KMeans and broadcast)."""
-    cents = [
-        F.array(*[F.lit(_plane_weight(100 + c, d)) for d in range(64)])
-        for c in range(K_CELLS)
-    ]
+def _cell_dots(emb_col: str, codebook: list[list[float]] | None = None):
+    """Array of <centroid, emb> dot products against the codebook. The
+    default codebook is the K_CELLS deterministic pseudo-centroids
+    (hash-derived unit-free directions — the oracle-free stand-in);
+    `ann_ivf_kmeans` passes a real MLlib-KMeans-trained codebook. Either
+    way the centroids arrive as literal arrays, i.e. constant-folded
+    into codegen — the broadcast-a-tiny-codebook pattern a 10^10-vector
+    corpus uses (K×dim doubles, bytes, vs the corpus it indexes)."""
+    if codebook is None:
+        codebook = [
+            [_plane_weight(100 + c, d) for d in range(64)]
+            for c in range(K_CELLS)
+        ]
+    cents = [F.array(*[F.lit(w) for w in row]) for row in codebook]
     return F.array(*[
         F.aggregate(
             F.zip_with(emb_col, cents[c], lambda x, w: x * w),
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        for c in range(K_CELLS)
+        for c in range(len(codebook))
     ])
 
 
-@query("ann_ivf_topk")  # approximate recall ⇒ rows-only check
-def ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: corpus vectors partition into K_CELLS inverted
-    lists by nearest codebook direction (argmax dot); each query probes
-    its NPROBE best cells and exact-cosine re-ranks only those lists.
-    The dataflow is the real IVF shape — cell assignment is one
-    linear pass, candidates come from a cell equi join keyed on the
-    inverted-list id (shuffle keyed on cell at 10^10 scale, never
-    all-pairs), probing more cells trades compute for recall. A corpus
-    vector is in exactly one cell and a query's NPROBE cells are
-    distinct, so candidates need no dedup.
-    Recall quantified in tests/test_dedup_recall.py."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("dots", _cell_dots("emb"))
+def _ivf_search(e, codebook: list[list[float]] | None = None):
+    """Shared IVF dataflow (cell assign → NPROBE probe → exact re-rank)
+    over an `(vec_id, emb)` frame; see `ann_ivf_topk` for the scale
+    analysis. Cell assignment is argmax <centroid, emb> — with
+    unit-norm centroids that is exactly argmax cosine (|emb| is
+    constant across cells), so one codebook serves any corpus norm."""
+    e = e.withColumn("dots", _cell_dots("emb", codebook))
     corpus = e.select(
         "vec_id", "emb",
         (F.array_position("dots", F.array_max("dots")) - 1).cast("int").alias("cell"),
@@ -241,3 +238,59 @@ def ann_ivf_topk(spark, sf_dir):
         .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+@query("ann_ivf_topk")  # approximate recall ⇒ rows-only check
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: corpus vectors partition into K_CELLS inverted
+    lists by nearest codebook direction (argmax dot); each query probes
+    its NPROBE best cells and exact-cosine re-ranks only those lists.
+    The dataflow is the real IVF shape — cell assignment is one
+    linear pass, candidates come from a cell equi join keyed on the
+    inverted-list id (shuffle keyed on cell at 10^10 scale, never
+    all-pairs), probing more cells trades compute for recall. A corpus
+    vector is in exactly one cell and a query's NPROBE cells are
+    distinct, so candidates need no dedup.
+    Recall quantified in tests/test_dedup_recall.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return _ivf_search(e)
+
+
+@query("ann_ivf_kmeans")  # approximate recall ⇒ rows-only check
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a REAL trained codebook: MLlib KMeans (distributed
+    k-means||) fit on the unit-normalized corpus, centroids unit-
+    normalized and handed to the same `_ivf_search` dataflow as
+    `ann_ivf_topk` — this is the "fit offline with MLlib KMeans and
+    broadcast" swap that qkey's docstring documents, implemented.
+
+    Scale shape: the fit is one MLlib job over (a sample of) the corpus
+    — at 10^10 vectors you fit on a ~10^7-row sample (`df.sample`),
+    which changes nothing below; the codebook (K×dim doubles) collects
+    to the driver and broadcasts as literals; assignment/probe/re-rank
+    are the identical bucketed dataflow. Training on the unit sphere
+    makes euclidean k-means optimize cosine geometry, and unit-norm
+    centroids make argmax-dot assignment exactly argmax-cosine.
+    Recall pinned ≥ the pseudo-codebook's in tests/test_dedup_recall.py
+    (a data-adapted codebook cannot lose to a data-blind one there)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    unit = e.select(
+        F.transform("emb", lambda x: x / F.greatest(_norm("emb"), F.lit(1e-12)))
+        .alias("u")
+    )
+    model = KMeans(
+        k=K_CELLS, seed=7, maxIter=8, featuresCol="features"
+    ).fit(unit.select(array_to_vector("u").alias("features")))
+    codebook = []
+    for c in model.clusterCenters():
+        v = c.tolist()
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        codebook.append([x / n for x in v])
+    return _ivf_search(e, codebook)

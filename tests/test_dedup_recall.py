@@ -161,6 +161,18 @@ def test_multiprobe_and_ivf_beat_single_probe(spark, hard_ann_dir):
     assert ivf >= 4
 
 
+def test_ivf_kmeans_codebook_recall(spark, hard_ann_dir):
+    """The MLlib-KMeans-trained codebook (ann_ivf_kmeans) must match or
+    beat the data-blind pseudo-codebook (ann_ivf_topk) on the hard
+    corpus — a codebook adapted to the corpus geometry cannot do worse
+    than hash-derived directions at equal K_CELLS/NPROBE. Also pins
+    output shape: exactly K rows per query, scalar columns only."""
+    km = registry.QUERIES["ann_ivf_kmeans"](spark, hard_ann_dir).toPandas()
+    ivf = _recall(registry.QUERIES["ann_ivf_topk"](spark, hard_ann_dir).toPandas())
+    assert _recall(km) >= max(ivf, 4)
+    assert (km.groupby("q_id").size() == 10).all()
+
+
 def test_ann_lsh_planted_neighbor_recall(spark, planted_dir):
     sf, _ = planted_dir
     ann = registry.QUERIES["ann_lsh_bucketed"](spark, sf).toPandas()
