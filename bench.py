@@ -66,15 +66,25 @@ def _force(df) -> None:
 
 
 def _gated_probe(floor: float, tries: int, wait_s: float) -> tuple[dict, bool]:
-    """Probe the host until the copy-bandwidth floor clears or patience
-    runs out. Returns (last probe dict, cleared?)."""
+    """Probe the host until the warm-page copy-bandwidth floor clears
+    AND hypervisor steal drops under the ceiling, or patience runs out.
+    Returns (last probe dict, cleared?). Two gates because they catch
+    different host failure modes (r4 measurement): cold-page
+    provisioning stalls depress bandwidth (the probe now measures warm
+    pages, so a low reading means the host genuinely can't stream), and
+    steal% is the hypervisor denying us cycles outright — replay wall
+    scales with both."""
+    steal_max = float(os.environ.get("MERLIN_BENCH_STEAL_MAX", "10.0"))
     last: dict = {}
     for attempt in range(max(1, tries)):
         last = probe(spin_s=1.0, bw_s=1.5)
-        if floor <= 0 or (last.get("copy_bw_gbs") or 0) >= floor:
+        bw_ok = floor <= 0 or (last.get("copy_bw_gbs") or 0) >= floor
+        steal_ok = steal_max <= 0 or (last.get("steal_pct") or 0) <= steal_max
+        if bw_ok and steal_ok:
             return last, True
         _log(f"[bench] host noisy (probe {last.get('copy_bw_gbs')} GB/s "
-             f"< floor {floor}); retry {attempt + 1}/{tries} in {wait_s}s")
+             f"vs floor {floor}, steal {last.get('steal_pct')}% vs max "
+             f"{steal_max}%); retry {attempt + 1}/{tries} in {wait_s}s")
         time.sleep(wait_s)
     return last, False
 
