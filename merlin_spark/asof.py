@@ -11,9 +11,14 @@ as-of join; two formulations, same semantics:
   whole-stage codegen, zero Python — the scale path.
 - :func:`asof_join_pandas` — cogrouped-pandas ``pd.merge_asof``: both
   sides hash-partitioned on the key, per-key groups joined vectorized
-  inside Arrow batches. Kept for the ``tolerance`` option (bounded
-  lookback), which the window form can't express without a range frame
-  per right column.
+  inside Arrow batches. Kept as the reference formulation and the
+  driver-oracled qkey (`asof_join_tolerance`).
+
+Both support ``tolerance`` (bounded lookback, inclusive ``<=`` like
+``pd.merge_asof``): the window form packs the right row's ``on`` value
+into the match struct and nulls matches older than the bound in the
+final projection — still one shuffle, zero Python (r4; equivalence to
+the pandas form pinned in tests/test_asof.py).
 """
 
 from __future__ import annotations
@@ -38,23 +43,34 @@ def asof_join(
     right_cols maps right column → output alias (besides on/by).
     Ties among right rows at identical (by, on) resolve to an arbitrary
     but single row (same caveat as DuckDB ASOF / pd.merge_asof).
+
+    ``tolerance`` (pd.Timedelta for timestamp ``on``, or a number for
+    numeric ``on``) bounds the lookback inclusively: a match older than
+    ``left.on - tolerance`` comes back as NULL, exactly
+    ``pd.merge_asof``'s semantics — because the as-of candidate is the
+    CLOSEST prior right row, nulling it when it falls outside the bound
+    is the complete bounded-lookback answer.
     """
     _check_collisions(left.columns, right_cols)
-    if tolerance is not None:
-        return asof_join_pandas(left, right, on, by, right_cols, tolerance)
 
     l_cols = left.columns
     r_types = {f.name: f.dataType for f in right.schema.fields}
-    rv_type = T.StructType(
-        [T.StructField(alias, r_types[src]) for src, alias in right_cols.items()]
-    )
+    rv_fields = [
+        T.StructField(alias, r_types[src]) for src, alias in right_cols.items()
+    ]
+    if tolerance is not None:
+        # carry the matched right row's `on` so the final projection can
+        # apply the bound without a second join or range frame
+        rv_fields = [T.StructField("_r_on", r_types[on])] + rv_fields
+    rv_type = T.StructType(rv_fields)
+    r_struct = [F.col(src).alias(alias) for src, alias in right_cols.items()]
+    if tolerance is not None:
+        r_struct = [F.col(on).alias("_r_on")] + r_struct
     r_tagged = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        F.struct(
-            *[F.col(src).alias(alias) for src, alias in right_cols.items()]
-        ).alias("_rv"),
+        F.struct(*r_struct).alias("_rv"),
     )
     l_tagged = left.select(
         *l_cols,
@@ -68,9 +84,23 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
-    return filled.where(F.col("_side") == 1).select(
+    out = filled.where(F.col("_side") == 1)
+    if tolerance is None:
+        return out.select(
+            *l_cols,
+            *[F.col(f"_m.{alias}").alias(alias) for alias in right_cols.values()],
+        )
+    if isinstance(tolerance, pd.Timedelta):
+        micros = int(tolerance.total_seconds() * 1_000_000)
+        bound = F.col(on) - F.expr(f"INTERVAL {micros} MICROSECOND")
+    else:
+        bound = F.col(on) - F.lit(tolerance)
+    # NULL `_m` propagates through `when` as NULL — no-match and
+    # out-of-bound-match collapse to the same NULL row, like merge_asof
+    ok = F.col("_m._r_on") >= bound
+    return out.select(
         *l_cols,
-        *[F.col(f"_m.{alias}").alias(alias) for alias in right_cols.values()],
+        *[F.when(ok, F.col(f"_m.{alias}")).alias(alias) for alias in right_cols.values()],
     )
 
 

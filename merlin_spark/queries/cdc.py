@@ -289,12 +289,14 @@ def asof_join_events(spark, sf_dir):
          ON p.user_id = v.user_id AND v.ts <= p.ts""",
 )
 def asof_join_tolerance(spark, sf_dir):
-    """As-of join with bounded lookback (`tolerance` = 2 h) — the
-    cogrouped-pandas `pd.merge_asof` formulation (asof.asof_join_pandas),
-    previously pytest-only (VERDICT r3 missing #4), now hash-oracled:
-    DuckDB ASOF picks the latest prior view, and because that candidate
-    is the CLOSEST one, nulling it when it falls outside the tolerance
-    is exactly merge_asof's bounded-lookback semantics."""
+    """As-of join with bounded lookback (`tolerance` = 2 h), hash-oracled
+    vs DuckDB ASOF + CASE bound. Runs the JVM union+window form — since
+    r4 it handles `tolerance` natively (one `when()` in the final
+    projection, still zero Python); equivalence to the cogrouped-pandas
+    `pd.merge_asof` form is pinned in tests/test_asof.py. DuckDB ASOF
+    picks the latest prior view, and because that candidate is the
+    CLOSEST one, nulling it when it falls outside the tolerance is
+    exactly merge_asof's bounded-lookback semantics."""
     e = load(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.round("value", 4).alias("value")

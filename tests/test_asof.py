@@ -68,3 +68,30 @@ def test_tolerance_bounds_lookback(spark, sf_dir):
     # zero tolerance: only exact-ts matches survive
     matched = tol["last_view_ts"].notna()
     assert (tol.loc[matched, "last_view_ts"] == tol.loc[matched, "ts"]).all()
+
+
+def test_tolerance_window_equals_pandas_formulation(spark, sf_dir):
+    """The r4 native JVM tolerance path must agree row-for-row with the
+    cogrouped-pandas merge_asof form at a nonzero bound that actually
+    nulls some matches (2h on the events fixture does)."""
+    purchases, views = _sides(spark, sf_dir)
+    kw = dict(on="ts", by="user_id", right_cols={"ts": "last_view_ts"},
+              tolerance=pd.Timedelta(hours=2))
+    a = (asof_join(purchases, views, **kw)
+         .toPandas().sort_values("event_id").reset_index(drop=True))
+    b = (asof_join_pandas(purchases, views, **kw)
+         .toPandas().sort_values("event_id").reset_index(drop=True))
+    # the bound must bite, else this test proves nothing
+    assert a["last_view_ts"].isna().any() and a["last_view_ts"].notna().any()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_tolerance_window_is_python_free(spark, sf_dir):
+    """tolerance used to fall back to the cogrouped-pandas path; since r4
+    the window form handles it JVM-side — keep it that way."""
+    purchases, views = _sides(spark, sf_dir)
+    df = asof_join(purchases, views, on="ts", by="user_id",
+                   right_cols={"ts": "last_view_ts"},
+                   tolerance=pd.Timedelta(hours=2))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapCoGroups" not in plan
