@@ -49,7 +49,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 sys.path.insert(0, os.path.join(_HERE, "bench"))
 
-from host_probe import probe  # noqa: E402
+from host_probe import healthy, probe  # noqa: E402
 
 from merlin_spark.fixtures import gen_changelog_spark  # noqa: E402
 from merlin_spark.session import get_spark  # noqa: E402
@@ -75,16 +75,17 @@ def _gated_probe(floor: float, tries: int, wait_s: float) -> tuple[dict, bool]:
     steal% is the hypervisor denying us cycles outright — replay wall
     scales with both."""
     steal_max = float(os.environ.get("MERLIN_BENCH_STEAL_MAX", "10.0"))
+    cold_floor = float(os.environ.get("MERLIN_BENCH_COLD_FLOOR", "2.0"))
     last: dict = {}
     for attempt in range(max(1, tries)):
         last = probe(spin_s=1.0, bw_s=1.5)
-        bw_ok = floor <= 0 or (last.get("copy_bw_gbs") or 0) >= floor
-        steal_ok = steal_max <= 0 or (last.get("steal_pct") or 0) <= steal_max
-        if bw_ok and steal_ok:
+        if healthy(last, bw_floor=floor, steal_max=steal_max,
+                   cold_floor=cold_floor):
             return last, True
-        _log(f"[bench] host noisy (probe {last.get('copy_bw_gbs')} GB/s "
+        _log(f"[bench] host noisy (warm {last.get('copy_bw_gbs')} GB/s "
              f"vs floor {floor}, steal {last.get('steal_pct')}% vs max "
-             f"{steal_max}%); retry {attempt + 1}/{tries} in {wait_s}s")
+             f"{steal_max}%, cold-min {last.get('cold_min_gbs')} GB/s vs "
+             f"floor {cold_floor}); retry {attempt + 1}/{tries} in {wait_s}s")
         time.sleep(wait_s)
     return last, False
 

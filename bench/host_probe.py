@@ -35,17 +35,27 @@ def _spin(stop_t: float) -> None:
 def _bw_worker(q, dur: float) -> None:
     import numpy as np
 
-    a = np.random.rand(20_000_000)
+    # COLD-page fill, timed: first touch of a fresh buffer page-faults,
+    # and when the hypervisor is short on backing pages that provisioning
+    # stalls (measured r4: 1.28 GB single-thread fill took 54 s — 0.02
+    # GB/s — in the same minute the warm copy read 120+ GB/s). The
+    # replay workload writes GBs of FRESH tmpfs pages every run, so cold
+    # fill is the half of host health the warm copy can't see. Separate
+    # fields so the gate can use both.
+    a = np.empty(20_000_000)
+    t0 = time.time()
+    a[:] = 1.0
+    cold_gbs = a.nbytes / max(time.time() - t0, 1e-9) / 1e9
+    rng = np.random.default_rng(0)
+    a[:] = rng.random(a.shape)
     b = np.empty_like(a)
-    # Warm-up copy OUTSIDE the timed window: the two fresh 160 MB
-    # buffers page-fault on first touch, and when the VM is short on
-    # free pages that allocation stalls in direct reclaim — measured
-    # r4: back-to-back probes alternated 2.6 / 57 GB/s purely on
-    # allocation luck, with slow readings collapsing to the 1-copy
-    # quantum (8 × 0.32 GB / 1.5 s = exactly "1.7"). Copy bandwidth
-    # over warm pages is the signal the gate needs (a long bench run's
-    # working set is warm); timing over measured elapsed, not the
-    # nominal window, removes the quantization.
+    # Warm-up copy OUTSIDE the timed window: measured r4, back-to-back
+    # probes alternated 2.6 / 57 GB/s purely on allocation luck, with
+    # slow readings collapsing to the 1-copy quantum (8 × 0.32 GB /
+    # 1.5 s = exactly "1.7"). Copy bandwidth over warm pages is the
+    # steady-state signal (a long bench run's working set is warm);
+    # timing over measured elapsed, not the nominal window, removes the
+    # quantization.
     np.copyto(b, a)
     n = 0
     t0 = time.time()
@@ -54,7 +64,7 @@ def _bw_worker(q, dur: float) -> None:
         np.copyto(b, a)
         n += 1
     elapsed = max(time.time() - t0, 1e-9)
-    q.put(max(n, 1) * a.nbytes * 2 / elapsed / 1e9)
+    q.put((max(n, 1) * a.nbytes * 2 / elapsed / 1e9, cold_gbs))
 
 
 def probe(spin_s: float = 3.0, bw_s: float = 3.0, bw_procs: int = 8) -> dict:
@@ -74,16 +84,38 @@ def probe(spin_s: float = 3.0, bw_s: float = 3.0, bw_procs: int = 8) -> dict:
     q = mp.Queue()
     ps = [mp.Process(target=_bw_worker, args=(q, bw_s)) for _ in range(bw_procs)]
     [p.start() for p in ps]
-    bw = sum(q.get() for _ in ps)
+    pairs = [q.get() for _ in ps]
     [p.join() for p in ps]
+    bw = sum(p[0] for p in pairs)
+    colds = [p[1] for p in pairs]
 
     return {
         "steal_pct": cpu.get("steal"),
         "user_pct": cpu.get("user"),
         "sys_pct": cpu.get("system"),
         "copy_bw_gbs": round(bw, 1),
+        # aggregate fresh-page fill rate, plus the WORST worker — one
+        # stalled worker means provisioning pauses exist, and a replay
+        # task hitting one stalls a whole stage
+        "cold_fill_gbs": round(sum(colds), 1),
+        "cold_min_gbs": round(min(colds), 2),
         "bw_procs": bw_procs,
     }
+
+
+def healthy(p: dict,
+            bw_floor: float = 10.0,
+            steal_max: float = 10.0,
+            cold_floor: float = 2.0) -> bool:
+    """One shared gate for bench/scaling reps: warm streaming capacity,
+    hypervisor steal, and fresh-page provisioning must ALL clear.
+    ``cold_floor`` gates the worst single worker (GB/s): r4 measured
+    healthy windows at ≥5 GB/s/worker and sick ones at 0.02–0.5."""
+    return (
+        (bw_floor <= 0 or (p.get("copy_bw_gbs") or 0) >= bw_floor)
+        and (steal_max <= 0 or (p.get("steal_pct") or 0) <= steal_max)
+        and (cold_floor <= 0 or (p.get("cold_min_gbs") or 0) >= cold_floor)
+    )
 
 
 if __name__ == "__main__":

@@ -20,8 +20,10 @@ import sys, json; sys.path.insert(0, '$REPO/bench')
 from host_probe import probe
 print(json.dumps(probe(spin_s=1.0, bw_s=1.5)))")
   echo "{\"t\": $(date +%s), \"probe\": $p}" >> "$PROBE_LOG"
-  bw=$(python -c "import json,sys; print(json.loads(sys.argv[1]).get('copy_bw_gbs') or 0)" "$p")
-  ok=$(python -c "import sys; print(1 if float(sys.argv[1]) >= float(sys.argv[2]) else 0)" "$bw" "$FLOOR")
+  ok=$(python -c "
+import json, sys; sys.path.insert(0, '$REPO/bench')
+from host_probe import healthy
+print(1 if healthy(json.loads(sys.argv[1]), bw_floor=float(sys.argv[2])) else 0)" "$p" "$FLOOR")
   if [ "$ok" = "1" ]; then
     attempt=$((attempt + 1))
     echo "[hunt] quiet window (probe ${bw} GB/s) — bench attempt $attempt" >&2

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Scaling-ladder quiet-window hunter (r4): the first SCALING_r04 table
+# was measured in a degraded fresh-page-provisioning window (see the
+# post-run dossier in BENCH/SCALING_r04.md). Loop the two-sided host
+# probe (warm copy + cold fill + steal, host_probe.healthy()) until a
+# genuinely clean window appears, then fire the full ladder to
+# BENCH/SCALING_r04b.md. Every probe sample is appended to
+# BENCH/probe_log_r04.jsonl so a never-quiet host leaves a proof record.
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MAX_HOURS="${SCALING_HUNT_MAX_HOURS:-4}"
+EVENTS="${SCALING_HUNT_EVENTS:-100000000}"
+PROBE_LOG="$REPO/BENCH/probe_log_r04.jsonl"
+deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
+while [ "$(date +%s)" -lt "$deadline" ]; do
+  p=$(python -c "
+import sys, json; sys.path.insert(0, '$REPO/bench')
+from host_probe import probe
+print(json.dumps(probe(spin_s=1.0, bw_s=1.5)))")
+  echo "{\"t\": $(date +%s), \"probe\": $p, \"who\": \"scaling_hunt\"}" >> "$PROBE_LOG"
+  ok=$(python -c "
+import json, sys; sys.path.insert(0, '$REPO/bench')
+from host_probe import healthy
+print(1 if healthy(json.loads(sys.argv[1])) else 0)" "$p")
+  if [ "$ok" = "1" ]; then
+    echo "[scaling-hunt] clean window: $p — firing ladder" >&2
+    python "$REPO/bench/run_scaling.py" --events "$EVENTS" \
+      --levels 4,8,32 --repeats 1 --out "$REPO/BENCH/SCALING_r04b.md" \
+      && exit 0
+    echo "[scaling-hunt] ladder failed; continuing hunt" >&2
+  fi
+  sleep 60
+done
+echo "[scaling-hunt] no clean window within ${MAX_HOURS}h" >&2
+exit 3
