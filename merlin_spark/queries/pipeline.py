@@ -1,0 +1,130 @@
+"""Dataset-assembly ops over `documents` — PII scrubbing, deterministic
+train/holdout splitting, hash-stratified sampling (training-data
+pipeline ops, task brief §"beyond the reference").
+
+All three are map-only JVM builtins: no shuffle, no UDF, linear in the
+corpus — the plan at 100 TB is one scan per op with every expression
+inside whole-stage codegen. Regex patterns are restricted to the
+Java-regex ∩ RE2 common subset (char classes, bounded repeats,
+alternation — no lookarounds) so the DuckDB oracles run the literal
+same patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io_util import load
+from .base import query
+
+# Synthetic PII injected deterministically into the (PII-free) fixture
+# text IDENTICALLY in the Spark query and the oracle SQL — the operator
+# under test is the redaction, and it must actually bite to be tested.
+_PII_SUFFIX = "@mail.example.com or 555-0123 id 987654321"
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\d{3}-\d{4}"
+_LONG_ID = r"\d{9,}"
+
+
+@query(
+    "text_pii_scrub",
+    rf"""SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text || ' reach user' || CAST(doc_id AS VARCHAR) || '{_PII_SUFFIX}',
+                   '{_EMAIL}', '<EMAIL>', 'g'),
+                   '{_LONG_ID}', '<ID>', 'g'),
+                   '{_PHONE}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(
+                   text || ' reach user' || CAST(doc_id AS VARCHAR) || '{_PII_SUFFIX}',
+                   '{_EMAIL}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(
+                   text || ' reach user' || CAST(doc_id AS VARCHAR) || '{_PII_SUFFIX}',
+                   '{_PHONE}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(
+                   text || ' reach user' || CAST(doc_id AS VARCHAR) || '{_PII_SUFFIX}',
+                   '{_LONG_ID}')) AS INTEGER) AS n_ids
+        FROM documents""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction: emails, phone-shaped and long-digit-run tokens
+    replaced with typed placeholders, plus per-category match counts.
+    Scrub order matters and is pinned: email first (its local part
+    contains digits), then long IDs, then phones."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" reach user"),
+        F.col("doc_id").cast("string"), F.lit(_PII_SUFFIX),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL, "<EMAIL>"),
+            _LONG_ID, "<ID>"),
+        _PHONE, "<PHONE>")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0)))
+
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n(_EMAIL).alias("n_emails"),
+        n(_PHONE).alias("n_phones"),
+        n(_LONG_ID).alias("n_ids"),
+    )
+
+
+# Hex-string thresholds: md5 output is uniform over [0,16^32), so a
+# lexicographic compare of the hex digest against a 2-hex-digit prefix
+# is an exact deterministic Bernoulli with p = int(prefix,16)/256 —
+# reproducible across engines, reruns, and cluster sizes (no RNG state,
+# unlike df.sample), and any doc joins back to its split by re-hashing.
+_HOLDOUT_LT = "0d"  # 13/256 ≈ 5.1% holdout
+
+
+@query(
+    "split_train_holdout",
+    f"""SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS doc_hash,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_HOLDOUT_LT}'
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents""",
+)
+def split_train_holdout(spark, sf_dir):
+    """Deterministic train/holdout assignment by key hash — the
+    shuffle-free split every training-data pipeline needs: stable under
+    re-runs and incremental ingest (a doc's split never changes), and
+    exactly reproducible from doc_id alone."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        h.alias("doc_hash"),
+        F.when(h < _HOLDOUT_LT, "holdout").otherwise("train").alias("split"),
+    )
+
+
+# Per-stratum keep thresholds: downsample the dominant language, keep
+# half of everything else — the classic data-mix rebalance. Same
+# hex-prefix Bernoulli as the split (deterministic sampleBy).
+_EN_LT = "1a"     # ≈ 10.2% of en docs kept
+_OTHER_LT = "80"  # 50% of other-language docs kept
+
+
+@query(
+    "sample_stratified_hash",
+    f"""SELECT doc_id, lang,
+               md5(CAST(doc_id AS VARCHAR)) AS doc_hash
+        FROM documents
+        WHERE CASE WHEN lang = 'en'
+                   THEN md5(CAST(doc_id AS VARCHAR)) < '{_EN_LT}'
+                   ELSE md5(CAST(doc_id AS VARCHAR)) < '{_OTHER_LT}' END""",
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Stratified sampling with per-language rates, hash-deterministic
+    (df.sampleBy's semantics without its RNG nondeterminism): en docs
+    kept at ~10%, every other language at 50%. Map-only filter — the
+    100 TB plan is a scan with the predicate pushed into codegen."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    keep = F.when(F.col("lang") == "en", h < _EN_LT).otherwise(h < _OTHER_LT)
+    return d.where(keep).select("doc_id", "lang", h.alias("doc_hash"))

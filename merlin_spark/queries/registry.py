@@ -33,6 +33,7 @@ from . import cdc  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import textstats  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import sqlview  # noqa: E402,F401
 
@@ -73,6 +74,9 @@ _FRONT = [
     "agg_sliding_window",
     "asof_join_tolerance",
     "ann_ivf_kmeans",
+    "text_pii_scrub",
+    "split_train_holdout",
+    "sample_stratified_hash",
     # rotated out in r3 (green r1+r2) — third confirmation round.
     # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
     # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
@@ -95,14 +99,19 @@ _FRONT = [
     "topk_orders",
     "topk_per_group",
     "set_intersect",
-    "scalar_string",
-    "scalar_datetime",
 ]
 
 _BACK = [
-    # green r1+r2, displaced from the third-confirmation group by the
-    # new ann_ivf_kmeans — bring back in r5 (see _FRONT note)
+    # green r1+r2, displaced from the third-confirmation group by keys
+    # new in r4 (ann_ivf_kmeans, text_pii_scrub, split_train_holdout,
+    # sample_stratified_hash) — they sit out exactly r3+r4 and MUST
+    # return to _FRONT in r5 per the two-consecutive-rounds cap
     "scan_lineitem",
+    "scalar_string",
+    "scalar_datetime",
+    # green r2+r3 (two confirmations, most recent r3) — displaced from
+    # the mid window by the r4 additions; return in r5
+    "changelog_scan",
     # hash-green in r3 AND r2 (most thrice-green r1+r2+r3)
     "join_smj_orders_lineitem",
     "join_salted_skew",
