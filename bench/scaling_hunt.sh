@@ -23,7 +23,25 @@ import json, sys; sys.path.insert(0, '$REPO/bench')
 from host_probe import healthy
 print(1 if healthy(json.loads(sys.argv[1])) else 0)" "$p")
   if [ "$ok" = "1" ]; then
-    echo "[scaling-hunt] clean window: $p — firing ladder" >&2
+    echo "[scaling-hunt] clean window: $p" >&2
+    # 1. short 2M bench first — captures the 2x-gate re-proof under the
+    #    repaired (cold-gated) probe before the window can close
+    if [ ! -f "$REPO/BENCH/bench_r04_coldquiet.json" ]; then
+      echo "[scaling-hunt] firing 2M bench (cold-gated)" >&2
+      MERLIN_BENCH_TAG=r04quiet MERLIN_BENCH_REPEATS=2 \
+        MERLIN_BENCH_PROBE_TRIES=2 MERLIN_BENCH_PROBE_WAIT=10 \
+        MERLIN_BENCH_QUERIES=dedup_exact \
+        python "$REPO/bench.py" > /tmp/bench_r04_coldquiet.out \
+        2> /tmp/bench_r04_coldquiet.err
+      last=$(tail -1 /tmp/bench_r04_coldquiet.out)
+      echo "[scaling-hunt] bench line: $last" >&2
+      if python -c "
+import json, sys
+sys.exit(0 if json.loads(sys.argv[1]).get('quiet') else 1)" "$last"; then
+        echo "$last" > "$REPO/BENCH/bench_r04_coldquiet.json"
+      fi
+    fi
+    # 2. the full ladder
     python "$REPO/bench/run_scaling.py" --events "$EVENTS" \
       --levels 4,8,32 --repeats 1 --out "$REPO/BENCH/SCALING_r04b.md" \
       && exit 0

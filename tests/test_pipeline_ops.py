@@ -1,0 +1,75 @@
+"""Dataset-assembly ops (queries/pipeline.py): semantics beyond the
+hash oracle — redaction completeness, split determinism + fraction,
+stratified rates — and the 100 TB plan shape (map-only: no Exchange)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from merlin_spark.queries.pipeline import (
+    sample_stratified_hash,
+    split_train_holdout,
+    text_pii_scrub,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_scrub_removes_every_injected_pattern(spark):
+    out = text_pii_scrub(spark, SF)
+    # nothing email/phone/long-id shaped survives in clean_text
+    leftovers = out.where(
+        F.col("clean_text").rlike(r"[A-Za-z0-9._%+-]+@")
+        | F.col("clean_text").rlike(r"\d{3}-\d{4}")
+        | F.col("clean_text").rlike(r"\d{9,}")
+    ).count()
+    assert leftovers == 0
+    # every row had exactly the injected 1 email + 1 phone + 1 long id
+    bad = out.where(
+        (F.col("n_emails") != 1) | (F.col("n_phones") != 1) | (F.col("n_ids") != 1)
+    ).count()
+    assert bad == 0
+    # placeholders actually present
+    assert out.where(~F.col("clean_text").contains("<EMAIL>")).count() == 0
+
+
+def test_split_is_deterministic_and_near_nominal_fraction(spark):
+    a = split_train_holdout(spark, SF).toPandas().set_index("doc_id")["split"]
+    b = split_train_holdout(spark, SF).toPandas().set_index("doc_id")["split"]
+    assert a.sort_index().equals(b.sort_index())
+    frac = (a == "holdout").mean()
+    # nominal 13/256 ≈ 5.1%; 500 docs → give binomial slack
+    assert 0.01 < frac < 0.12, frac
+
+
+def test_stratified_rates_differ_by_language(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from merlin_spark.io_util import load
+
+    totals = (
+        load(spark, SF, "documents").groupBy("lang").count().toPandas()
+        .set_index("lang")["count"]
+    )
+    kept = (
+        sample_stratified_hash(spark, SF).groupBy("lang").count().toPandas()
+        .set_index("lang")["count"]
+    )
+    en_rate = kept.get("en", 0) / totals["en"]
+    other_kept = kept.drop("en", errors="ignore").sum()
+    other_total = totals.drop("en", errors="ignore").sum()
+    assert 0.02 < en_rate < 0.20, en_rate            # nominal ~10.2%
+    assert 0.35 < other_kept / other_total < 0.65    # nominal 50%
+
+
+def test_all_three_plans_are_map_only(spark):
+    """No Exchange (shuffle) and no Python eval in any of the three —
+    the 100 TB plan is one scan with codegen'd expressions."""
+    for fn in (text_pii_scrub, split_train_holdout, sample_stratified_hash):
+        plan = _plan(fn(spark, SF))
+        assert "Exchange" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, fn.__name__
