@@ -128,3 +128,103 @@ def sample_stratified_hash(spark, sf_dir):
     h = F.md5(F.col("doc_id").cast("string"))
     keep = F.when(F.col("lang") == "en", h < _EN_LT).otherwise(h < _OTHER_LT)
     return d.where(keep).select("doc_id", "lang", h.alias("doc_hash"))
+
+
+# ------------------------------------------------------------- composition
+# The flagship curation chain — what a training-data team actually runs:
+# near-dup removal → quality gate → language rebalance → split. One
+# DataFrame program, one end-to-end oracle.
+
+
+@query(
+    "curate_corpus",
+    None,  # oracle assembled below (reuses the recursive-CTE closure)
+)
+def curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation composed from the §2.10 operators:
+
+    1. drop near-duplicate non-canonical docs (connected components over
+       the exact-Jaccard pair graph, keeper = min doc_id — the
+       `dedup_cluster_canonical` operator);
+    2. quality gate (the `text_quality` pass criteria: length band +
+       punctuation ceiling);
+    3. per-language rebalance (the `sample_stratified_hash` rates);
+    4. deterministic train/holdout assignment (`split_train_holdout`).
+
+    Hash-oracled END TO END against one DuckDB query whose stages are
+    the same recursive-CTE closure + filters — so the driver verifies
+    the composition, not just each stage in isolation.
+
+    Scale: stages 2-4 are map-only and fuse into the scan; stage 1 is
+    the CC labels anti-joined on doc_id (plain shuffled anti join — the
+    dupe set at 10^10 docs can be a double-digit percent of the corpus,
+    so it must NOT be broadcast)."""
+    from .dedup import dedup_cluster_canonical
+
+    d = load(spark, sf_dir, "documents")
+    dupes = (
+        dedup_cluster_canonical(spark, sf_dir)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    base = d.join(dupes, "doc_id", "left_anti")
+    quality = base.where(
+        F.length("text").between(100, 5000)
+        & (
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+            < 0.1 * F.length("text")
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    sampled = quality.where(
+        F.when(F.col("lang") == "en", h < _EN_LT).otherwise(h < _OTHER_LT)
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.when(h < _HOLDOUT_LT, "holdout").otherwise("train").alias("split"),
+    )
+
+
+def _register_curate_oracle() -> None:
+    """The curate oracle reuses dedup's recursive-CTE transitive closure
+    verbatim (single source of truth for the pair predicate)."""
+    from .base import ORACLE_SQL
+    from .dedup import _JACCARD_ORACLE
+
+    ORACLE_SQL["curate_corpus"] = f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        dupes AS (
+            SELECT a AS doc_id FROM reach GROUP BY a
+            HAVING a != least(a, min(b))
+        ),
+        base AS (
+            SELECT d.doc_id, d.lang, d.text FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+        ),
+        quality AS (
+            SELECT doc_id, lang FROM base
+            WHERE length(text) BETWEEN 100 AND 5000
+              AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  < 0.1 * length(text)
+        ),
+        sampled AS (
+            SELECT doc_id, lang FROM quality
+            WHERE CASE WHEN lang = 'en'
+                       THEN md5(CAST(doc_id AS VARCHAR)) < '{_EN_LT}'
+                       ELSE md5(CAST(doc_id AS VARCHAR)) < '{_OTHER_LT}' END
+        )
+        SELECT doc_id, lang,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_HOLDOUT_LT}'
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM sampled"""
+
+
+_register_curate_oracle()

@@ -77,6 +77,7 @@ _FRONT = [
     "text_pii_scrub",
     "split_train_holdout",
     "sample_stratified_hash",
+    "curate_corpus",
     # rotated out in r3 (green r1+r2) — third confirmation round.
     # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
     # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
@@ -98,7 +99,6 @@ _FRONT = [
     "agg_cube",
     "topk_orders",
     "topk_per_group",
-    "set_intersect",
 ]
 
 _BACK = [
@@ -109,6 +109,7 @@ _BACK = [
     "scan_lineitem",
     "scalar_string",
     "scalar_datetime",
+    "set_intersect",
     # green r2+r3 (two confirmations, most recent r3) — displaced from
     # the mid window by the r4 additions; return in r5
     "changelog_scan",
