@@ -130,6 +130,45 @@ def sample_stratified_hash(spark, sf_dir):
     return d.where(keep).select("doc_id", "lang", h.alias("doc_hash"))
 
 
+@query(
+    "conv_context_pairs",
+    """SELECT doc_id, source,
+              coalesce(string_agg(substr(text, 1, 40), ' | ') OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), '') AS context,
+              text AS target
+       FROM documents""",
+)
+def conv_context_pairs(spark, sf_dir):
+    """(context, target) training-pair assembly — the transcripts-shape
+    op every SFT data pipeline runs: for each turn, the concatenation
+    of the previous k turns in its thread is the context, the turn
+    itself the target (thread = `source`, order = `doc_id`; k = 2,
+    truncated snippets). One window frame per thread key — a single
+    hash shuffle on the thread id, no UDF, `collect_list` over a
+    bounded ROWS frame so state per key is O(k), not O(thread).
+
+    DuckDB's windowed `string_agg` over the identical frame is the
+    oracle; an empty frame (thread head) is NULL there vs `[]` here, so
+    the oracle coalesces to '' to match `concat_ws`'s empty result."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(-2, -1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " | ", F.collect_list(F.substring("text", 1, 40)).over(w)
+        ).alias("context"),
+        F.col("text").alias("target"),
+    )
+
+
 # ------------------------------------------------------------- composition
 # The flagship curation chain — what a training-data team actually runs:
 # near-dup removal → quality gate → language rebalance → split. One

@@ -78,6 +78,8 @@ _FRONT = [
     "split_train_holdout",
     "sample_stratified_hash",
     "curate_corpus",
+    "conv_context_pairs",
+    "text_winnow_fingerprint",
     # rotated out in r3 (green r1+r2) — third confirmation round.
     # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
     # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
@@ -96,9 +98,7 @@ _FRONT = [
     "win_lag_lead",
     "win_running_sum",
     "agg_rollup",
-    "agg_cube",
     "topk_orders",
-    "topk_per_group",
 ]
 
 _BACK = [
@@ -110,6 +110,8 @@ _BACK = [
     "scalar_string",
     "scalar_datetime",
     "set_intersect",
+    "topk_per_group",
+    "agg_cube",
     # green r2+r3 (two confirmations, most recent r3) — displaced from
     # the mid window by the r4 additions; return in r5
     "changelog_scan",

@@ -147,3 +147,51 @@ def text_fingerprint(spark, sf_dir):
         F.md5("text").alias("fp"),
         F.substring(F.md5("text"), 1, 4).alias("fp_bucket"),
     )
+
+
+WINNOW_W = 4  # tokens per shingle (the "rolling" unit)
+WINNOW_WIN = 5  # shingle-hashes per winnowing window
+
+
+def winnow_fingerprints(text_col):
+    """Winnowing fingerprint SET of a text column (public algorithm:
+    Schleimer/Wilkerson/Aiken, MOSS): hash every WINNOW_W-token shingle,
+    slide a WINNOW_WIN-wide window over the hash sequence, keep each
+    window's minimum, dedupe. Guarantees any shared run of
+    WINNOW_W + WINNOW_WIN - 1 tokens contributes at least one COMMON
+    fingerprint to both docs — partial-overlap detection that a
+    whole-document digest cannot do.
+
+    Entirely JVM higher-order array functions (transform / slice /
+    array_min / array_distinct): linear per doc, zero Python, no
+    shuffle. Returns array<bigint> — library surface; driver-facing
+    qkeys must reduce it to scalars (registry lint bans array outputs)."""
+    toks = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - WINNOW_W + 1, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, WINNOW_W))),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - WINNOW_WIN + 1, F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, i, WINNOW_WIN)),
+    )
+    return F.array_distinct(mins)
+
+
+@query("text_winnow_fingerprint")  # rows-only: xxhash64 has no DuckDB twin
+def text_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting (task brief) via winnowing:
+    per doc, the count of selected fingerprints and their XOR-fold as a
+    stable digest. Containment property (an edited copy shares most
+    fingerprints with its original; unrelated docs share none) is
+    pinned in tests/test_winnow.py — that, not this scalar view, is
+    the operator's correctness evidence."""
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)).alias(
+            "fp_xor"
+        ),
+    )
