@@ -10,7 +10,7 @@ from merlin_spark.queries.textstats import (
     WINNOW_W,
     WINNOW_WIN,
     text_winnow_fingerprint,
-    winnow_fingerprints,
+    winnow_fingerprint_table,
 )
 
 BASE = (
@@ -25,8 +25,11 @@ UNRELATED = " ".join(f"w{i}x" for i in range(30))
 
 def _fps(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
-    rows = df.select("id", winnow_fingerprints(F.col("text")).alias("f")).collect()
-    return {r["id"]: set(r["f"]) for r in rows}
+    rows = winnow_fingerprint_table(df, id_col="id", text_col="text").collect()
+    out: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in rows:
+        out[r["id"]].add(r["fp"])
+    return out
 
 
 def test_edited_copy_shares_most_fingerprints(spark):
