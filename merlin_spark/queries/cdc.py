@@ -489,3 +489,75 @@ def icebox_time_travel(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "icebox_change_feed",
+    """SELECT 'insert' AS _change_type,
+              'u' || CAST(user_id AS VARCHAR) AS conv_id,
+              CAST(event_id AS INTEGER) AS turn_idx, event_type AS text
+       FROM events WHERE event_id > 5000
+       UNION ALL
+       SELECT 'update_preimage', 'u' || CAST(user_id AS VARCHAR),
+              CAST(event_id AS INTEGER), event_type
+       FROM events WHERE event_id <= 1000
+       UNION ALL
+       SELECT 'update_postimage', 'u' || CAST(user_id AS VARCHAR),
+              CAST(event_id AS INTEGER), upper(event_type)
+       FROM events WHERE event_id <= 1000
+       UNION ALL
+       SELECT 'delete', 'u' || CAST(user_id AS VARCHAR),
+              CAST(event_id AS INTEGER), event_type
+       FROM events WHERE event_id > 1000 AND event_id <= 1200""",
+)
+def icebox_change_feed(spark, sf_dir):
+    """Change data feed (sink.read_changes — Delta CDF / Iceberg
+    changelog-scan parity) as a hash-oracled query: build a mor table
+    in two commits — batch 0 inserts event_id ≤ 5000; batch 1 inserts
+    the rest, LWW-updates event_id ≤ 1000 (text uppercased), and
+    deletes 1000 < event_id ≤ 1200 — then diff snapshot 0 against the
+    current version. The driver hash verifies all four change types
+    (insert / delete / update pre+post images) against a pure-SQL
+    statement of the same delta."""
+    import shutil
+
+    from ..sink import IceboxSink
+
+    ev = load(spark, sf_dir, "events")
+
+    def as_changelog(df, op, lsn_off=0, ts_shift=0, upper=False):
+        text = F.upper("event_type") if upper else F.col("event_type")
+        return df.select(
+            (F.col("event_id") + lsn_off).alias("lsn"),
+            F.lit(op).alias("op"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            (F.col("ts") + F.expr(f"INTERVAL {ts_shift} HOURS")).alias("ts"),
+            F.lit(None).cast("string").alias("evo_column"),
+            F.lit(None).cast("string").alias("evo_type"),
+            F.lit(None).cast("string").alias("extra"),
+        )
+
+    path = tempfile.mkdtemp(prefix="merlin-cfq-")
+    sink = IceboxSink(spark, path, n_buckets=8, mode="mor")
+    sink.apply(as_changelog(ev.where(F.col("event_id") <= 5000), "I"), 0)
+    batch1 = (
+        as_changelog(ev.where(F.col("event_id") > 5000), "I")
+        .unionByName(as_changelog(ev.where(F.col("event_id") <= 1000), "U",
+                                  lsn_off=1_000_000, ts_shift=1, upper=True))
+        .unionByName(as_changelog(
+            ev.where((F.col("event_id") > 1000) & (F.col("event_id") <= 1200)),
+            "D", lsn_off=2_000_000, ts_shift=2))
+    )
+    sink.apply(batch1, 1)
+    out = (
+        sink.read_changes(0)
+        .select("_change_type", "conv_id", "turn_idx", "text")
+        .orderBy("_change_type", "conv_id", "turn_idx")
+        .localCheckpoint(eager=True)  # cut lineage before rmtree (as above)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -80,6 +80,7 @@ _FRONT = [
     "curate_corpus",
     "conv_context_pairs",
     "text_winnow_fingerprint",
+    "icebox_change_feed",
     # rotated out in r3 (green r1+r2) — third confirmation round.
     # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
     # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
@@ -87,7 +88,6 @@ _FRONT = [
     # cap.)
     "project_orders",
     "filter_lineitem_date",
-    "join_broadcast_dim",
     "join_semi",
     "join_anti",
     "join_full_outer_diff",
@@ -112,6 +112,7 @@ _BACK = [
     "set_intersect",
     "topk_per_group",
     "agg_cube",
+    "join_broadcast_dim",
     # green r2+r3 (two confirmations, most recent r3) — displaced from
     # the mid window by the r4 additions; return in r5
     "changelog_scan",

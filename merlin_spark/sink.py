@@ -56,7 +56,7 @@ from pyspark.sql.types import StructType
 
 from .apply import collect_evolutions, merge_state, prepare_batch, route_ops
 from .lineage import emit_lineage
-from .schemas import SYSTEM_LSN, SYSTEM_OP, TRANSCRIPT_FIELDS
+from .schemas import MERGE_KEYS, SYSTEM_LSN, SYSTEM_OP, TRANSCRIPT_FIELDS
 
 BASE_SCHEMA_DDL = [(f.name, f.dataType.simpleString()) for f in TRANSCRIPT_FIELDS] + [
     (SYSTEM_LSN, "bigint"),
@@ -597,6 +597,71 @@ class IceboxSink:
         `VERSION AS OF` parity). Data files are immutable and manifests
         append-only, so any un-vacuumed snapshot stays readable."""
         return self.read(man=self.manifest(version))
+
+    def read_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data feed: net row-level changes between two snapshots
+        (Delta CDF / Iceberg changelog-scan parity). Emits one row per
+        change with ``_change_type`` in {insert, delete,
+        update_preimage, update_postimage} — an updated key yields its
+        before AND after image, keyed to the same join row.
+
+        Semantics are NET state diff, not event replay: a key rewritten
+        between the snapshots (winning ``_lsn`` changed) is an update
+        even if several events touched it; a key whose resolved state
+        is identical emits nothing. Tombstones count as absent (a key
+        that died is a delete with its pre-image values; a tombstone
+        garbage-collected by ``compact(drop_tombstones=True)`` emits
+        nothing — the delete was reported when it happened).
+
+        Plan shape: two snapshot reads full-outer-joined ONCE on the
+        merge keys (one hash shuffle each side), classification and the
+        pre/post fan-out done with an exploded literal array so the
+        join is not re-executed per change type. Additive schema
+        evolution between the snapshots is handled by aligning the old
+        side to the new schema (missing columns read as NULL)."""
+        man_to = self.manifest(v_to) if v_to is not None else self.manifest()
+        man_from = self.manifest(v_from)
+        cols = [f.name for f in self.schema(man_to).fields]
+        a = self.read(man=man_from)
+        for f in self.schema(man_to).fields:
+            if f.name not in a.columns:
+                a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+        a = a.select(*cols).alias("a")
+        b = self.read(man=man_to).select(*cols).alias("b")
+        j = a.join(b, [a[k] == b[k] for k in MERGE_KEYS], "full_outer")
+
+        def alive(side):
+            return F.col(f"{side}.{SYSTEM_OP}").isNotNull() & (
+                F.col(f"{side}.{SYSTEM_OP}") != "D"
+            )
+
+        out_cols = [c for c in cols if c != SYSTEM_OP]
+
+        def image(side, kind):
+            return F.struct(
+                F.lit(kind).alias("_change_type"),
+                F.struct(
+                    *[F.col(f"{side}.{c}").alias(c) for c in out_cols]
+                ).alias("row"),
+            )
+
+        a_ok, b_ok = alive("a"), alive("b")
+        touched = F.col(f"a.{SYSTEM_LSN}") != F.col(f"b.{SYSTEM_LSN}")
+        changes = (
+            F.when(
+                a_ok & b_ok & touched,
+                F.array(image("a", "update_preimage"),
+                        image("b", "update_postimage")),
+            )
+            .when(~a_ok & b_ok, F.array(image("b", "insert")))
+            .when(a_ok & ~b_ok, F.array(image("a", "delete")))
+            # typed empty array: slice an array of the same element type
+            # down to zero elements (avoids hand-writing the struct DDL)
+            .otherwise(F.slice(F.array(image("b", "none")), 1, 0))
+        )
+        return j.select(F.explode(changes).alias("ch")).select(
+            F.col("ch._change_type").alias("_change_type"), "ch.row.*"
+        )
 
     def rollback(self, version: int) -> dict:
         """Roll the table back to snapshot `version` (Iceberg
