@@ -30,7 +30,12 @@ Env knobs:
   MERLIN_BENCH_QUERIES      comma-list filter    (default: all registered)
   MERLIN_SKIP_REPLAY        "1" → queries only
   MERLIN_BENCH_REPEATS      measured reps        (default 3)
-  MERLIN_BENCH_PROBE_FLOOR  quiet-window GB/s    (default 10.0; 0 disables)
+  MERLIN_BENCH_PROBE_FLOOR  warm-copy GB/s floor (default 10.0; 0 disables
+                            THIS gate only — steal and cold-fill gates
+                            below stay active unless also zeroed)
+  MERLIN_BENCH_STEAL_MAX    hypervisor steal %% ceiling (default 10.0; 0 off)
+  MERLIN_BENCH_COLD_FLOOR   fresh-page fill GB/s floor, worst worker
+                            (default 2.0; 0 off)
   MERLIN_BENCH_PROBE_TRIES  probes per rep       (default 6)
   MERLIN_BENCH_PROBE_WAIT   secs between probes  (default 15)
   MERLIN_BENCH_TAG          BENCH/queries_<tag>.json name (default r04)
@@ -224,7 +229,13 @@ def main() -> None:
         **{k: v for k, v in replay_stats.items() if not k.startswith("_")},
     }
     line = json.dumps(out)
-    assert len(line) < 1500, f"stdout line too long ({len(line)} chars)"
+    if len(line) >= 1500:
+        # NEVER crash here — r3 lost the whole round's metrics to an
+        # overlong final line; degrade to the core fields instead
+        core = {k: out.get(k) for k in
+                ("metric", "value", "unit", "sf", "cpus", "replay_sec",
+                 "events_per_sec", "quiet", "queries_file")}
+        line = json.dumps(core)
     print(line, flush=True)
 
 

@@ -26,7 +26,7 @@ from host_probe import healthy
 print(1 if healthy(json.loads(sys.argv[1]), bw_floor=float(sys.argv[2])) else 0)" "$p" "$FLOOR")
   if [ "$ok" = "1" ]; then
     attempt=$((attempt + 1))
-    echo "[hunt] quiet window (probe ${bw} GB/s) — bench attempt $attempt" >&2
+    echo "[hunt] quiet window ($p) — bench attempt $attempt" >&2
     MERLIN_BENCH_TAG=r04 python "$REPO/bench.py" > "$OUT.$attempt" 2> "$OUT.$attempt.err"
     tail -c 2000 "$OUT.$attempt"
     if python -c "

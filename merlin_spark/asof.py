@@ -91,7 +91,11 @@ def asof_join(
             *[F.col(f"_m.{alias}").alias(alias) for alias in right_cols.values()],
         )
     if isinstance(tolerance, pd.Timedelta):
-        micros = int(tolerance.total_seconds() * 1_000_000)
+        # integer ns // 1000, not float total_seconds()*1e6: the float
+        # path truncates near-µs values and would diverge from the
+        # pandas form on boundary-exact matches (TimestampType is µs
+        # anyway, so µs granularity is lossless here)
+        micros = tolerance.value // 1000
         bound = F.col(on) - F.expr(f"INTERVAL {micros} MICROSECOND")
     else:
         bound = F.col(on) - F.lit(tolerance)
@@ -122,6 +126,14 @@ def _check_collisions(left_columns: list[str], right_cols: dict[str, str]) -> No
         raise ValueError(
             f"asof_join: right_cols aliases {sorted(alias_clash)} already "
             "exist on the left side; choose distinct output aliases"
+        )
+    alias_internal = set(right_cols.values()) & set(_INTERNAL_COLS)
+    if alias_internal:
+        # an alias named _r_on would collide with the tolerance path's
+        # struct field and resolve ambiguously instead of erroring
+        raise ValueError(
+            f"asof_join: right_cols aliases {sorted(alias_internal)} collide "
+            f"with internal helper names {_INTERNAL_COLS}; rename them"
         )
 
 

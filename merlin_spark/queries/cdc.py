@@ -415,6 +415,26 @@ def wal_parse_builtin(spark, sf_dir):
     ).where(F.size(p) == 5)
 
 
+def _events_as_changelog(df, op, lsn_off=0, ts_shift=0, upper=False):
+    """Shared fixture-builder for the icebox_* qkeys: reshape `events`
+    rows into transcript changelog events (one definition — the
+    time-travel and change-feed tables must never silently diverge)."""
+    text = F.upper("event_type") if upper else F.col("event_type")
+    return df.select(
+        (F.col("event_id") + lsn_off).alias("lsn"),
+        F.lit(op).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.col("ts") + F.expr(f"INTERVAL {ts_shift} HOURS")).alias("ts"),
+        F.lit(None).cast("string").alias("evo_column"),
+        F.lit(None).cast("string").alias("evo_type"),
+        F.lit(None).cast("string").alias("extra"),
+    )
+
+
 @query(
     "icebox_time_travel",
     """SELECT 'v0' AS snap, 'u' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -436,29 +456,14 @@ def icebox_time_travel(spark, sf_dir):
     returned rows therefore hash-verify bucketed writes, atomic
     snapshot commits, merge-on-read LWW resolution, update-beats-insert
     ordering, and `VERSION AS OF` isolation against a pure-SQL oracle
-    (sink.py read_version/read_live). Table lives under a
-    deterministic /tmp path, rebuilt from scratch per call."""
+    (sink.py read_version/read_live). The table is built under a
+    per-invocation unique temp dir and removed after the result is
+    materialized (localCheckpoint cuts the lineage first)."""
     import shutil
 
     from ..sink import IceboxSink
 
     ev = load(spark, sf_dir, "events")
-
-    def as_changelog(df, op, lsn_off=0, ts_shift=0, upper=False):
-        text = F.upper("event_type") if upper else F.col("event_type")
-        return df.select(
-            (F.col("event_id") + lsn_off).alias("lsn"),
-            F.lit(op).alias("op"),
-            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
-            F.col("event_id").cast("int").alias("turn_idx"),
-            F.lit("user").alias("role"),
-            text.alias("text"),
-            F.lit(None).cast("string").alias("tool"),
-            (F.col("ts") + F.expr(f"INTERVAL {ts_shift} HOURS")).alias("ts"),
-            F.lit(None).cast("string").alias("evo_column"),
-            F.lit(None).cast("string").alias("evo_type"),
-            F.lit(None).cast("string").alias("extra"),
-        )
 
     # per-invocation unique dir (VERDICT r3 wrong #5): a deterministic
     # md5(sf_dir) path raced when two harness processes hit the same
@@ -466,9 +471,9 @@ def icebox_time_travel(spark, sf_dir):
     # builds disjoint; the tree is removed after materialization below.
     path = tempfile.mkdtemp(prefix="merlin-ttq-")
     sink = IceboxSink(spark, path, n_buckets=8, mode="mor")
-    batch0 = as_changelog(ev.where(F.col("event_id") <= 5000), "I")
-    batch1 = as_changelog(ev.where(F.col("event_id") > 5000), "I").unionByName(
-        as_changelog(ev.where(F.col("event_id") <= 1000), "U",
+    batch0 = _events_as_changelog(ev.where(F.col("event_id") <= 5000), "I")
+    batch1 = _events_as_changelog(ev.where(F.col("event_id") > 5000), "I").unionByName(
+        _events_as_changelog(ev.where(F.col("event_id") <= 1000), "U",
                      lsn_off=1_000_000, ts_shift=1, upper=True)
     )
     sink.apply(batch0, 0)
@@ -525,30 +530,14 @@ def icebox_change_feed(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
 
-    def as_changelog(df, op, lsn_off=0, ts_shift=0, upper=False):
-        text = F.upper("event_type") if upper else F.col("event_type")
-        return df.select(
-            (F.col("event_id") + lsn_off).alias("lsn"),
-            F.lit(op).alias("op"),
-            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
-            F.col("event_id").cast("int").alias("turn_idx"),
-            F.lit("user").alias("role"),
-            text.alias("text"),
-            F.lit(None).cast("string").alias("tool"),
-            (F.col("ts") + F.expr(f"INTERVAL {ts_shift} HOURS")).alias("ts"),
-            F.lit(None).cast("string").alias("evo_column"),
-            F.lit(None).cast("string").alias("evo_type"),
-            F.lit(None).cast("string").alias("extra"),
-        )
-
     path = tempfile.mkdtemp(prefix="merlin-cfq-")
     sink = IceboxSink(spark, path, n_buckets=8, mode="mor")
-    sink.apply(as_changelog(ev.where(F.col("event_id") <= 5000), "I"), 0)
+    sink.apply(_events_as_changelog(ev.where(F.col("event_id") <= 5000), "I"), 0)
     batch1 = (
-        as_changelog(ev.where(F.col("event_id") > 5000), "I")
-        .unionByName(as_changelog(ev.where(F.col("event_id") <= 1000), "U",
+        _events_as_changelog(ev.where(F.col("event_id") > 5000), "I")
+        .unionByName(_events_as_changelog(ev.where(F.col("event_id") <= 1000), "U",
                                   lsn_off=1_000_000, ts_shift=1, upper=True))
-        .unionByName(as_changelog(
+        .unionByName(_events_as_changelog(
             ev.where((F.col("event_id") > 1000) & (F.col("event_id") <= 1200)),
             "D", lsn_off=2_000_000, ts_shift=2))
     )

@@ -281,13 +281,19 @@ def ann_ivf_kmeans(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    unit = e.select(
-        F.transform("emb", lambda x: x / F.greatest(_norm("emb"), F.lit(1e-12)))
-        .alias("u")
+    # MLlib Normalizer, not a transform() lambda: an expression captured
+    # inside a HOF lambda re-evaluates per array element (the O(n²) trap
+    # measured in textstats.winnow_fingerprint_table — a lambda here
+    # redid the O(dim) norm aggregate dim times per row, and binding it
+    # to a column first doesn't survive CollapseProject inlining)
+    from pyspark.ml.feature import Normalizer
+
+    unit = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        e.select(array_to_vector("emb").alias("raw"))
     )
     model = KMeans(
         k=K_CELLS, seed=7, maxIter=8, featuresCol="features"
-    ).fit(unit.select(array_to_vector("u").alias("features")))
+    ).fit(unit.select("features"))
     codebook = []
     for c in model.clusterCenters():
         v = c.tolist()
