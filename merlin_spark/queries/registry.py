@@ -57,6 +57,16 @@ from . import sqlview  # noqa: E402,F401
 #     deterministic under ANY import order.
 DRIVER_WINDOW = 50
 
+# ROUND-5 OBLIGATIONS (consolidated; enforced by the per-key notes
+# below): these keys will have been driver-unchecked in BOTH r3 and r4
+# and MUST be in the r5 window (the two-consecutive-rounds cap):
+#   scan_lineitem, scalar_string, scalar_datetime, set_intersect,
+#   topk_per_group, agg_cube, join_broadcast_dim
+# changelog_scan (green r2+r3, unchecked r4 only) and every r4-new key
+# that comes back green in CORRECTNESS_r04 (second confirmation) are
+# the next priority; keys green in r4 for the first time may sit out
+# r5 only if window space forces it.
+
 _FRONT = [
     # r3 driver-canonicalizer crashes, fixed in r4 (array columns gone)
     "dedup_simhash",

@@ -58,6 +58,11 @@ def test_collision_with_internal_or_alias_names_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="aliases"):
         asof_join(purchases, views, on="ts", by="user_id",
                   right_cols={"ts": "event_id"})  # alias exists on left
+    with pytest.raises(ValueError, match="internal helper"):
+        # an alias named like the tolerance path's struct field would
+        # resolve ambiguously instead of erroring (r4 review finding)
+        asof_join(purchases, views, on="ts", by="user_id",
+                  right_cols={"ts": "_r_on"})
 
 
 def test_tolerance_bounds_lookback(spark, sf_dir):
