@@ -61,7 +61,7 @@ DRIVER_WINDOW = 50
 # below): these keys will have been driver-unchecked in BOTH r3 and r4
 # and MUST be in the r5 window (the two-consecutive-rounds cap):
 #   scan_lineitem, scalar_string, scalar_datetime, set_intersect,
-#   topk_per_group, agg_cube, join_broadcast_dim
+#   topk_per_group, agg_cube, join_broadcast_dim, join_semi
 # changelog_scan (green r2+r3, unchecked r4 only) and every r4-new key
 # that comes back green in CORRECTNESS_r04 (second confirmation) are
 # the next priority; keys green in r4 for the first time may sit out
@@ -91,6 +91,7 @@ _FRONT = [
     "conv_context_pairs",
     "text_winnow_fingerprint",
     "icebox_change_feed",
+    "agg_grouping_sets",
     # rotated out in r3 (green r1+r2) — third confirmation round.
     # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
     # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
@@ -98,7 +99,6 @@ _FRONT = [
     # cap.)
     "project_orders",
     "filter_lineitem_date",
-    "join_semi",
     "join_anti",
     "join_full_outer_diff",
     "join_range_events",
@@ -123,6 +123,7 @@ _BACK = [
     "topk_per_group",
     "agg_cube",
     "join_broadcast_dim",
+    "join_semi",
     # green r2+r3 (two confirmations, most recent r3) — displaced from
     # the mid window by the r4 additions; return in r5
     "changelog_scan",
