@@ -169,6 +169,218 @@ def conv_context_pairs(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------- decontamination
+# Eval-set decontamination — the GPT-3/LLaMA-style pipeline step: flag
+# training docs sharing any k-token n-gram with the held-out eval set.
+# The eval slice IS this module's holdout split (same hash Bernoulli),
+# so the two ops compose: "is my train split clean w.r.t. my eval split"
+# is one query. Shape at 10^10 docs: explode → gram window → two
+# hash-shuffle joins → agg — never quadratic; the gram STRING is the
+# join key here so DuckDB can oracle it, and the one-line swap to
+# `xxhash64(gram)` halves shuffle bytes at scale (gram strings are
+# k×word-size; the winnowing op next door already does exactly that).
+
+_DECON_K = 5  # tokens per contamination n-gram
+# Planted overlap: the fixture corpus is random enough that natural
+# 5-gram collisions are rare, and an operator that never fires is not
+# tested — so a deterministic canary sentence is appended to every
+# doc_id ≡ 0 (mod 7) IDENTICALLY in both engines (the PII-scrub
+# pattern). Canary docs land in both splits (the hash Bernoulli is
+# independent of doc_id mod 7), so detection provably bites.
+_CANARY = " canary alpha beta gamma delta epsilon zeta"
+
+_DECON_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || '{_CANARY}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    toks AS (
+        -- parallel unnest = zip (DuckDB lacks WITH ORDINALITY)
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM docs
+    ),
+    grams AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+               lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || ' ' ||
+               lead(tok, 4) OVER w AS gram,
+               lead(tok, {_DECON_K - 1}) OVER w IS NOT NULL AS _full
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g AS (SELECT doc_id, gram FROM grams WHERE _full),
+    ev AS (SELECT DISTINCT gram FROM g
+           WHERE md5(CAST(doc_id AS VARCHAR)) < '{_HOLDOUT_LT}'),
+    tr AS (SELECT DISTINCT doc_id, gram FROM g
+           WHERE md5(CAST(doc_id AS VARCHAR)) >= '{_HOLDOUT_LT}'),
+    ov AS (
+        SELECT tr.doc_id,
+               CAST(count(*) AS INTEGER) AS n_grams,
+               CAST(count(ev.gram) AS INTEGER) AS n_overlap
+        FROM tr LEFT JOIN ev USING (gram)
+        GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(ov.n_grams, 0) AS n_grams,
+           coalesce(ov.n_overlap, 0) AS n_overlap,
+           CASE WHEN coalesce(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+               AS contaminated
+    FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    WHERE md5(CAST(d.doc_id AS VARCHAR)) >= '{_HOLDOUT_LT}'"""
+
+
+def token_gram_table(df, k: int, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """(id, gram) rows: every k-token n-gram of every document, built
+    relationally (posexplode once + lead() over the per-doc window —
+    the same single-partitioning linear form as
+    textstats.winnow_fingerprint_table, and for the same reason: the
+    HOF-array formulation re-evaluates the captured array per element,
+    measured O(n²)). Tail positions lack a full gram and are dropped
+    explicitly — concat_ws skips nulls and would silently emit a
+    SHORTER gram."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        toks.select(
+            id_col,
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", k - 1).over(w).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .drop("_full")
+    )
+
+
+@query("text_decontaminate", _DECON_ORACLE)
+def text_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: per TRAIN doc, its distinct 5-gram
+    count, how many of those grams also appear anywhere in the EVAL
+    (holdout) slice, and a contaminated flag. Eval gram set is NOT
+    broadcast — at 10^10 docs the 5% eval slice's gram set is itself
+    huge, so it must flow through the shuffle join (AQE may still
+    choose broadcast at small SF, which is exactly the right call
+    there)."""
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(_CANARY)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    grams = token_gram_table(planted, _DECON_K)
+    eval_grams = grams.where(h < _HOLDOUT_LT).select("gram").distinct()
+    train_grams = grams.where(h >= _HOLDOUT_LT).distinct()
+    overlap = (
+        train_grams.join(
+            eval_grams.withColumn("_hit", F.lit(1)), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("int").alias("n_overlap"),
+        )
+    )
+    return (
+        d.where(h >= _HOLDOUT_LT)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- packing
+# Sequence packing — concat-and-chunk (the GPT-style packer): documents
+# are laid end-to-end in a deterministic order within a shard and cut
+# into fixed token-budget chunks; each doc's pack assignment falls out
+# of a running token sum. One window per shard key = one hash shuffle,
+# no UDF. Shards come from an md5 hex prefix (uniform); ONE hex digit
+# (16 shards) matches the fixture scale — at 10^10 docs widen the
+# prefix (2 hex = 256, 3 = 4096 shards) so each shard's window state
+# stays executor-sized; assignments within a shard are unaffected by
+# the shard count of OTHER shards, so the knob only moves parallelism.
+
+_PACK_BUDGET = 512  # tokens per training row
+
+
+_PACK_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM base
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS INTEGER) AS pack_id,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS INTEGER) AS pack_offset,
+           CASE WHEN (cum - 1) // {_PACK_BUDGET}
+                     > (cum - n_tokens) // {_PACK_BUDGET}
+                THEN 1 ELSE 0 END AS straddles
+    FROM cum"""
+
+
+@query("pack_sequences", _PACK_ORACLE)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per doc its shard, whitespace
+    token count, the {budget}-token pack it starts in, its offset
+    inside that pack, and whether it straddles a pack boundary (the
+    fraction of straddlers is the packer's truncation-loss metric).
+    Deterministic — order is (shard, doc_id), no RNG — so packs are
+    reproducible across reruns and engines, which is what makes the
+    split/pack pair safely resumable under incremental ingest."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        "doc_id",
+        F.substring(h, 1, 1).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("int").alias("pack_id"),
+        (start % _PACK_BUDGET).cast("int").alias("pack_offset"),
+        (
+            F.floor((F.col("cum") - 1) / _PACK_BUDGET)
+            > F.floor(start / _PACK_BUDGET)
+        )
+        .cast("int")
+        .alias("straddles"),
+    )
+
+
 # ------------------------------------------------------------- composition
 # The flagship curation chain — what a training-data team actually runs:
 # near-dup removal → quality gate → language rebalance → split. One

@@ -61,7 +61,8 @@ DRIVER_WINDOW = 50
 # below): these keys will have been driver-unchecked in BOTH r3 and r4
 # and MUST be in the r5 window (the two-consecutive-rounds cap):
 #   scan_lineitem, scalar_string, scalar_datetime, set_intersect,
-#   topk_per_group, agg_cube, join_broadcast_dim, join_semi
+#   topk_per_group, agg_cube, join_broadcast_dim, join_semi,
+#   win_rank, win_lag_lead
 # changelog_scan (green r2+r3, unchecked r4 only) and every r4-new key
 # that comes back green in CORRECTNESS_r04 (second confirmation) are
 # the next priority; keys green in r4 for the first time may sit out
@@ -92,6 +93,8 @@ _FRONT = [
     "text_winnow_fingerprint",
     "icebox_change_feed",
     "agg_grouping_sets",
+    "text_decontaminate",
+    "pack_sequences",
     # rotated out in r3 (green r1+r2) — third confirmation round.
     # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
     # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
@@ -104,8 +107,6 @@ _FRONT = [
     "join_range_events",
     "agg_pricing_summary",
     "agg_count_distinct",
-    "win_rank",
-    "win_lag_lead",
     "win_running_sum",
     "agg_rollup",
     "topk_orders",
@@ -124,6 +125,10 @@ _BACK = [
     "agg_cube",
     "join_broadcast_dim",
     "join_semi",
+    # green r1+r2, displaced late in r4 by text_decontaminate +
+    # pack_sequences — unchecked r3+r4, MUST be in the r5 window
+    "win_rank",
+    "win_lag_lead",
     # green r2+r3 (two confirmations, most recent r3) — displaced from
     # the mid window by the r4 additions; return in r5
     "changelog_scan",

@@ -7,8 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from merlin_spark.queries.pipeline import (
+    _PACK_BUDGET,
+    pack_sequences,
     sample_stratified_hash,
     split_train_holdout,
+    text_decontaminate,
     text_pii_scrub,
 )
 
@@ -64,6 +67,49 @@ def test_stratified_rates_differ_by_language(spark):
     other_total = totals.drop("en", errors="ignore").sum()
     assert 0.02 < en_rate < 0.20, en_rate            # nominal ~10.2%
     assert 0.35 < other_kept / other_total < 0.65    # nominal 50%
+
+
+def test_decontaminate_detects_every_planted_canary(spark):
+    """Every train doc carrying the planted canary sentence shares its
+    canary 5-grams with the eval slice (7 eval canary docs exist at
+    sf0.01), so ALL of them must be flagged; the flag must also be
+    exactly (n_overlap > 0), and n_overlap bounded by n_grams."""
+    out = text_decontaminate(spark, SF).toPandas().set_index("doc_id")
+    canary_train = [i for i in out.index if i % 7 == 0]
+    assert len(canary_train) > 0
+    assert (out.loc[canary_train, "contaminated"] == 1).all()
+    assert ((out["n_overlap"] > 0) == (out["contaminated"] == 1)).all()
+    assert (out["n_overlap"] <= out["n_grams"]).all()
+    # eval docs themselves never appear in the (train-only) output
+    import hashlib
+
+    assert all(
+        hashlib.md5(str(i).encode()).hexdigest() >= "0d" for i in out.index
+    )
+
+
+def test_pack_sequences_invariants(spark):
+    """Within every shard: offsets/pack ids are exactly the running-sum
+    layout (first doc at pack 0 offset 0, assignments monotone in
+    doc_id), every offset < budget, and a doc straddles iff its span
+    crosses a budget boundary."""
+    df = pack_sequences(spark, SF).toPandas()
+    assert (df["pack_offset"] < _PACK_BUDGET).all()
+    assert (df["pack_offset"] >= 0).all()
+    for _, g in df.groupby("shard"):
+        g = g.sort_values("doc_id")
+        start = g["n_tokens"].cumsum() - g["n_tokens"]
+        assert (g["pack_id"] == start // _PACK_BUDGET).all()
+        assert (g["pack_offset"] == start % _PACK_BUDGET).all()
+        end = start + g["n_tokens"] - 1
+        assert (
+            (g["straddles"] == 1)
+            == (end // _PACK_BUDGET > start // _PACK_BUDGET)
+        ).all()
+        assert g["pack_id"].iloc[0] == 0 and g["pack_offset"].iloc[0] == 0
+    # the packer must exercise both branches at this corpus size
+    assert df["straddles"].sum() > 0
+    assert (df["straddles"] == 0).sum() > 0
 
 
 def test_all_three_plans_are_map_only(spark):
