@@ -22,8 +22,19 @@ print(json.dumps(probe(spin_s=1.0, bw_s=1.5)))")
 import json, sys; sys.path.insert(0, '$REPO/bench')
 from host_probe import healthy
 print(1 if healthy(json.loads(sys.argv[1])) else 0)" "$p")
+  # Require TWO consecutive healthy probes 60 s apart: a single probe
+  # taken right after a big process exit reads falsely healthy on the
+  # cold side (its freed pages are still balloon-resident for ~30 s —
+  # measured, BENCH/BASELINE.md balloon-reclaim experiment).
+  if [ "$ok" = "1" ] && [ "${prev_ok:-0}" != "1" ]; then
+    echo "[scaling-hunt] first healthy probe — confirming in 60s" >&2
+    prev_ok=1
+    sleep 60
+    continue
+  fi
+  prev_ok="$ok"
   if [ "$ok" = "1" ]; then
-    echo "[scaling-hunt] clean window: $p" >&2
+    echo "[scaling-hunt] clean window (2 consecutive): $p" >&2
     # 1. short 2M bench first — captures the 2x-gate re-proof under the
     #    repaired (cold-gated) probe before the window can close
     if [ ! -f "$REPO/BENCH/bench_r04_coldquiet.json" ]; then
