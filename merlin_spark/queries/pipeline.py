@@ -303,6 +303,76 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
+_REP_K = 3  # tokens per repetition n-gram (short: intra-doc phrasal echo)
+
+_REP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+               lead(tok, 2) OVER w AS gram,
+               lead(tok, {_REP_K - 1}) OVER w IS NOT NULL AS _full
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_grams,
+               CAST(count(DISTINCT gram) AS INTEGER) AS n_distinct
+        FROM grams WHERE _full GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_grams, 4)
+           END AS dup_gram_frac
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
+@query("text_repetition", _REP_ORACLE)
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition (the Gopher/MassiveText quality
+    signal): fraction of a doc's 3-gram occurrences that are repeats of
+    an earlier 3-gram in the SAME doc — high values flag boilerplate,
+    keyboard-mash and degenerate generations that length/punctuation
+    gates miss. One groupBy over the gram table; count and
+    count(distinct) share the doc-id partitioning the gram window
+    already created, so the whole op is the explode + ONE shuffle.
+    Docs shorter than one full gram keep a 0/0/0.0 row."""
+    d = load(spark, sf_dir, "documents")
+    agg = (
+        token_gram_table(d, _REP_K)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.count_distinct("gram").cast("int").alias("n_distinct"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 4
+                )
+            )
+            .alias("dup_gram_frac"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- packing
 # Sequence packing — concat-and-chunk (the GPT-style packer): documents
 # are laid end-to-end in a deterministic order within a shard and cut

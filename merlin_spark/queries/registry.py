@@ -62,7 +62,7 @@ DRIVER_WINDOW = 50
 # and MUST be in the r5 window (the two-consecutive-rounds cap):
 #   scan_lineitem, scalar_string, scalar_datetime, set_intersect,
 #   topk_per_group, agg_cube, join_broadcast_dim, join_semi,
-#   win_rank, win_lag_lead
+#   win_rank, win_lag_lead, join_range_events
 # changelog_scan (green r2+r3, unchecked r4 only) and every r4-new key
 # that comes back green in CORRECTNESS_r04 (second confirmation) are
 # the next priority; keys green in r4 for the first time may sit out
@@ -104,7 +104,6 @@ _FRONT = [
     "filter_lineitem_date",
     "join_anti",
     "join_full_outer_diff",
-    "join_range_events",
     "agg_pricing_summary",
     "agg_count_distinct",
     "win_running_sum",
@@ -126,9 +125,11 @@ _BACK = [
     "join_broadcast_dim",
     "join_semi",
     # green r1+r2, displaced late in r4 by text_decontaminate +
-    # pack_sequences — unchecked r3+r4, MUST be in the r5 window
+    # pack_sequences + text_repetition — unchecked r3+r4, MUST be in
+    # the r5 window
     "win_rank",
     "win_lag_lead",
+    "join_range_events",
     # green r2+r3 (two confirmations, most recent r3) — displaced from
     # the mid window by the r4 additions; return in r5
     "changelog_scan",

@@ -88,6 +88,30 @@ def test_decontaminate_detects_every_planted_canary(spark):
     )
 
 
+def test_repetition_flags_degenerate_text(spark):
+    """A doc that is one phrase repeated collapses to a single distinct
+    gram (dup fraction → 1); fully novel text keeps n == distinct
+    (fraction 0) — the two poles the Gopher-style gate separates."""
+    from merlin_spark.queries.pipeline import token_gram_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    g = (
+        token_gram_table(df, 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.count_distinct("gram").alias("d"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert g.loc[1, "n"] == 4 and g.loc[1, "d"] == 1
+    assert g.loc[2, "n"] == 4 and g.loc[2, "d"] == 4
+
+
 def test_pack_sequences_invariants(spark):
     """Within every shard: offsets/pack ids are exactly the running-sum
     layout (first doc at pack 0 offset 0, assignments monotone in
