@@ -110,11 +110,25 @@ def healthy(p: dict,
     """One shared gate for bench/scaling reps: warm streaming capacity,
     hypervisor steal, and fresh-page provisioning must ALL clear.
     ``cold_floor`` gates the worst single worker (GB/s): r4 measured
-    healthy windows at ≥5 GB/s/worker and sick ones at 0.02–0.5."""
+    healthy windows at ≥5 GB/s/worker and sick ones at 0.02–0.5.
+
+    A ``None`` reading on ANY gated field fails the gate (ADVICE r4
+    #4): a failed /proc parse previously coerced steal to 0 and passed
+    the steal gate in exactly the degraded environments where the probe
+    itself broke, while a None bandwidth conservatively failed — the
+    three sides are now symmetric-conservative."""
+
+    def _gate(value, limit, is_floor):
+        if limit <= 0:  # gate disabled explicitly
+            return True
+        if value is None:  # probe degraded → conservative fail
+            return False
+        return value >= limit if is_floor else value <= limit
+
     return (
-        (bw_floor <= 0 or (p.get("copy_bw_gbs") or 0) >= bw_floor)
-        and (steal_max <= 0 or (p.get("steal_pct") or 0) <= steal_max)
-        and (cold_floor <= 0 or (p.get("cold_min_gbs") or 0) >= cold_floor)
+        _gate(p.get("copy_bw_gbs"), bw_floor, True)
+        and _gate(p.get("steal_pct"), steal_max, False)
+        and _gate(p.get("cold_min_gbs"), cold_floor, True)
     )
 
 

@@ -549,3 +549,40 @@ def _register_curate_oracle() -> None:
 
 
 _register_curate_oracle()
+
+
+# ------------------------------------------------------- epoch shuffle
+# The LAST step a training-data pipeline runs (VERDICT r4 task #8):
+# given pack ids from the packer, a seeded deterministic permutation
+# fixes each epoch's read order. The permutation is a distributed sort
+# by md5(shard:pack:epoch) — no RNG state, no global ORDER BY (ranks
+# are per-shard, training readers consume shards independently), and a
+# new epoch is a new literal, not a data rewrite.
+
+_SHUFFLE_ORACLE = f"""
+    WITH pack_rows AS ({_PACK_ORACLE}),
+    packs AS (SELECT DISTINCT shard, pack_id FROM pack_rows),
+    keyed AS (
+        SELECT shard, pack_id,
+               md5(shard || ':' || CAST(pack_id AS VARCHAR) || ':epoch=0')
+                   AS shuffle_key
+        FROM packs
+    )
+    SELECT shard, pack_id, shuffle_key,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key)
+                AS INTEGER) AS pos
+    FROM keyed"""
+
+
+@query("shuffle_for_training", _SHUFFLE_ORACLE)
+def shuffle_for_training(spark, sf_dir):
+    """Deterministic epoch-0 shuffle over the packer's output: each
+    (shard, pack_id) gets its seeded md5 permutation key and its rank
+    within the shard under that key. Composes with pack_sequences
+    (same shards, same pack ids) and closes the ingest → pack →
+    shuffle story; curate.epoch_shuffle is the shared implementation
+    the spark-submit job uses over CDC-replayed transcripts."""
+    from ..curate import epoch_shuffle
+
+    packs = pack_sequences(spark, sf_dir).select("shard", "pack_id")
+    return epoch_shuffle(packs, epoch=0)

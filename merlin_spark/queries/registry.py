@@ -42,37 +42,43 @@ from . import sqlview  # noqa: E402,F401
 # CORRECTNESS_r01/r02/r03 each hold exactly the first 50 keys in
 # insertion order), so with >50 qkeys the tail is never driver-checked.
 # Rotate explicitly per round; tests/test_registry_window.py asserts the
-# invariants. Round-4 policy (VERDICT r3 task #5):
-#   _FRONT = the two r3 driver-crash fixes (dedup_simhash,
-#     mm_embed_binary — the latter has NEVER produced driver signal),
-#     every permanently-rows-only key (kept in-window every round so the
-#     weaker rows-check at least runs), the 20 keys rotated out in r3
-#     (back for a third confirmation after green r1+r2), and keys new
-#     in r4.
-#   _BACK  = keys hash-green in r3 AND at least one earlier round
-#     (two+ confirmations, most recent one this past round) — safe to
-#     sit out exactly one round.
-#   mid    = everything else (r3-first-green keys getting their second
-#     confirmation), ordered alphabetically so the window is
-#     deterministic under ANY import order.
+# invariants. _FRONT = this round's 50-slot window; _BACK = keys safe to
+# sit out (>= 2 hash-greens, most recent in the last two rounds); mid =
+# anything unlisted, ordered alphabetically so the window is
+# deterministic under ANY import order.
 DRIVER_WINDOW = 50
 
-# ROUND-5 OBLIGATIONS (consolidated; enforced by the per-key notes
-# below): these keys will have been driver-unchecked in BOTH r3 and r4
-# and MUST be in the r5 window (the two-consecutive-rounds cap):
-#   scan_lineitem, scalar_string, scalar_datetime, set_intersect,
-#   topk_per_group, agg_cube, join_broadcast_dim, join_semi,
-#   win_rank, win_lag_lead, join_range_events
-# changelog_scan (green r2+r3, unchecked r4 only) and every r4-new key
-# that comes back green in CORRECTNESS_r04 (second confirmation) are
-# the next priority; keys green in r4 for the first time may sit out
-# r5 only if window space forces it.
+# ROUND-5 WINDOW (VERDICT r4 task #2). Composition of the 50 slots:
+#   1. keys NEW in r5 (first driver signal);
+#   2. the 11 permanently-rows-only keys (kept in-window every round so
+#      the weaker rows-check at least runs);
+#   3. the 12 consolidated r5 OBLIGATIONS — unchecked in both r3+r4
+#      (scan_lineitem, scalar_string, scalar_datetime, set_intersect,
+#      topk_per_group, agg_cube, join_broadcast_dim, join_semi,
+#      win_rank, win_lag_lead, join_range_events) plus changelog_scan
+#      (green r2+r3, unchecked r4);
+#   4. every key hash-green for the FIRST time in r4 (second
+#      confirmation round);
+#   5. greens:2 keys whose latest green is r3 (unchecked r4 — keep them
+#      under the two-consecutive-rounds cap);
+#   6. three CDC-core refreshers (thrice-green, last r3) — the hot-path
+#      LWW/normalize semantics get a fourth look in the final round.
+# Everything in _BACK carries >= 2 hash-greens with the most recent in
+# r3 or r4, so nothing outside the window is ever more than one round
+# stale entering r5's check.
 
 _FRONT = [
-    # r3 driver-canonicalizer crashes, fixed in r4 (array columns gone)
+    # --- 1. new in round 5 ---
+    "transcript_sft_pairs",
+    "text_line_dedup",
+    "text_c4_clean",
+    "dedup_minhash_verify",
+    "ann_lsh_verify",
+    "lineage_replay_audit",
+    "shuffle_for_training",
+    # --- 2. permanently rows-only by design (sketch/hash/binary) ---
     "dedup_simhash",
     "mm_embed_binary",
-    # permanently rows-only by design (sketch/hash/binary outputs)
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
@@ -80,26 +86,62 @@ _FRONT = [
     "agg_approx_distinct",
     "dedup_minhash_lsh",
     "mm_frame_sample",
-    # new in round 4
+    "ann_ivf_kmeans",
+    "text_winnow_fingerprint",
+    # --- 3. r5 obligations (unchecked r3+r4) ---
+    "scan_lineitem",
+    "scalar_string",
+    "scalar_datetime",
+    "set_intersect",
+    "topk_per_group",
+    "agg_cube",
+    "join_broadcast_dim",
+    "join_semi",
+    "win_rank",
+    "win_lag_lead",
+    "join_range_events",
+    "changelog_scan",
+    # --- 4. r4 first-greens: second confirmation ---
     "wal_parse_builtin",
     "agg_sliding_window",
     "asof_join_tolerance",
-    "ann_ivf_kmeans",
     "text_pii_scrub",
     "split_train_holdout",
     "sample_stratified_hash",
     "curate_corpus",
     "conv_context_pairs",
-    "text_winnow_fingerprint",
     "icebox_change_feed",
     "agg_grouping_sets",
     "text_decontaminate",
     "pack_sequences",
-    # rotated out in r3 (green r1+r2) — third confirmation round.
-    # (scan_lineitem — the plain parquet scan, green r1+r2 — moved to
-    # _BACK to make room for ann_ivf_kmeans; it sits out exactly r3+r4
-    # and MUST return to _FRONT in r5 per the two-consecutive-rounds
-    # cap.)
+    "text_repetition",
+    # --- 5. greens:2 with latest green in r3 (unchecked r4) ---
+    "udtf_parse_wal",
+    "agg_pivot",
+    "set_unpivot",
+    "win_rank_extended",
+    # --- 6. CDC-core refreshers (thrice-green, last r3) ---
+    "win_lww_dedup",
+    "agg_lww_maxby",
+    "udf_normalize_text",
+]
+
+_BACK = [
+    # greens:2 whose latest green is r4 — safe to sit out exactly one
+    # round; ordered FIRST in _BACK so that, if any planned r5 key is
+    # not yet registered, the keys pulled up into the window are the
+    # least-confirmed ones
+    "agg_lww_salted",
+    "agg_tumbling_window",
+    "dedup_cluster_canonical",
+    "dedup_levenshtein_pairs",
+    "icebox_time_travel",
+    "mm_binary_meta",
+    "sql_view_query",
+    "text_fingerprint",
+    "text_lang_guess",
+    "win_session_window",
+    # thrice-green keys, latest r4 (third confirmation just happened)
     "project_orders",
     "filter_lineitem_date",
     "join_anti",
@@ -109,31 +151,14 @@ _FRONT = [
     "win_running_sum",
     "agg_rollup",
     "topk_orders",
-]
-
-_BACK = [
-    # green r1+r2, displaced from the third-confirmation group by keys
-    # new in r4 (ann_ivf_kmeans, text_pii_scrub, split_train_holdout,
-    # sample_stratified_hash) — they sit out exactly r3+r4 and MUST
-    # return to _FRONT in r5 per the two-consecutive-rounds cap
-    "scan_lineitem",
-    "scalar_string",
-    "scalar_datetime",
-    "set_intersect",
-    "topk_per_group",
-    "agg_cube",
-    "join_broadcast_dim",
-    "join_semi",
-    # green r1+r2, displaced late in r4 by text_decontaminate +
-    # pack_sequences + text_repetition — unchecked r3+r4, MUST be in
-    # the r5 window
-    "win_rank",
-    "win_lag_lead",
-    "join_range_events",
-    # green r2+r3 (two confirmations, most recent r3) — displaced from
-    # the mid window by the r4 additions; return in r5
-    "changelog_scan",
-    # hash-green in r3 AND r2 (most thrice-green r1+r2+r3)
+    "agg_percentiles",
+    "ann_bruteforce_topk",
+    "binlog_ds_scan",
+    "dedup_embedding_cosine",
+    "join_shuffle_hash",
+    "text_quality",
+    "text_token_count",
+    # thrice-green keys, latest r3
     "join_smj_orders_lineitem",
     "join_salted_skew",
     "subquery_decorrelated",
@@ -144,19 +169,12 @@ _BACK = [
     "scalar_json",
     "scalar_array",
     "cdc_op_route",
-    "win_lww_dedup",
-    "agg_lww_maxby",
     "agg_conv_reassembly",
-    "udf_normalize_text",
     "udaf_group_checksum",
     "asof_join_events",
     "lineage_op_counts",
     "dedup_exact",
     "dedup_jaccard_pairs",
-    "udtf_parse_wal",
-    "agg_pivot",
-    "set_unpivot",
-    "win_rank_extended",
 ]
 
 
