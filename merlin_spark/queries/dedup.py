@@ -434,3 +434,122 @@ def dedup_levenshtein_pairs(spark, sf_dir):
             dist.alias("edit_dist"),
         )
     )
+
+
+# ------------------------------------------------- hash-oracled verify twin
+# VERDICT r4 task #6: the production minhash path (dedup_minhash_lsh)
+# is permanently rows-only because its permutations are xxhash64 —
+# DuckDB cannot recompute them. This twin runs the IDENTICAL dataflow
+# (distinct shingles → minhash signature → banded bucket join → exact
+# Jaccard re-rank) with md5 permutations, a hash BOTH engines share, so
+# the driver hash-checks every stage of the LSH machinery: candidate
+# generation, pair dedup, and the exact re-rank arithmetic. 16 perms /
+# 4 bands × 4 rows (vs the production 32/8×4) halves the md5 cost; the
+# band threshold curve shifts but the dataflow under test is the same.
+
+_V_PERM = 16
+_V_BAND = 4  # rows per band → 4 bands
+
+_MINHASH_VERIFY_ORACLE = f"""
+    WITH shl AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3],
+                                        ' ')))) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{i}|' || sh)) AS s{i}" for i in range(_V_PERM))}
+        FROM shl GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5({'||'.join(f's{_V_BAND * b + r}' for r in range(_V_BAND))}) AS bkey "
+            "FROM sig"
+            for b in range(_V_PERM // _V_BAND))}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN shl a ON a.doc_id = c.doc_a
+        JOIN shl b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.i, 0)), 4) AS jaccard
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b"""
+
+
+@query("dedup_minhash_verify", _MINHASH_VERIFY_ORACLE)
+def dedup_minhash_verify(spark, sf_dir):
+    """md5-permutation twin of dedup_minhash_lsh with the exact-Jaccard
+    re-rank as the hashed output — every candidate pair the banded
+    bucket join emits, with its true shingle Jaccard. Same shape at
+    scale: explode → hash shuffle per stage, pair space bounded by
+    bucket collisions, never all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]),
+        )
+    )
+    sh = d.where(n >= 3).select("doc_id", F.explode(sh_arr).alias("sh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}|"), "sh"))).alias(f"s{i}")
+          for i in range(_V_PERM)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[F.md5(F.concat(*[F.col(f"s{_V_BAND * b + r}")
+                                   for r in range(_V_BAND)]))
+                  for b in range(_V_PERM // _V_BAND)]
+            )
+        ).alias("band", "bkey"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bkey") == F.col("r.bkey"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sh.alias("b"), (F.col("doc_b") == F.col("b.doc_id"))
+              & (F.col("b.sh") == F.col("a.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        cand.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.coalesce("i", F.lit(0)).cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.coalesce("i", F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )

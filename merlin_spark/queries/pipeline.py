@@ -586,3 +586,208 @@ def shuffle_for_training(spark, sf_dir):
 
     packs = pack_sequences(spark, sf_dir).select("shard", "pack_id")
     return epoch_shuffle(packs, epoch=0)
+
+
+# ------------------------------------------------------ line-level ops
+# Inter-document line dedup (MassiveText/C4's boilerplate removal) and
+# C4-style heuristic line cleaning (VERDICT r4 tasks #3/#4). The fixture
+# text is single-line word soup, so — the established planted-canary
+# pattern (_CANARY, _PII_SUFFIX) — both engines deterministically
+# reconstruct a multi-line document IDENTICALLY: the token stream is cut
+# into 6-token chunk lines, chunk i gets a terminal '.' unless
+# (doc_id + i) % 4 == 0, and boilerplate lines are appended on doc_id
+# residues (%3 copyright footer, %5 newsletter plea, %11 lorem ipsum) so
+# both the dedup and the cleaning rules provably bite.
+
+_LINE_CHUNK = 6
+_BP_COPY = "(c) example corp all rights reserved."
+_BP_NEWS = "subscribe to our newsletter"
+_BP_LOREM = "lorem ipsum dolor sit amet."
+
+# DuckDB CTE producing (doc_id, pos, line) — the zip-unnest pattern from
+# the decontamination oracle (unnest + generate_subscripts in one SELECT
+# run in lockstep).
+_LINES_CTE = f"""
+    built AS (
+        SELECT doc_id,
+               list_concat(
+                   list_concat(
+                       list_transform(
+                           range(CAST(ceil(len(string_split(text, ' ')) / {_LINE_CHUNK}.0)
+                                      AS INTEGER)),
+                           i -> array_to_string(
+                                    string_split(text, ' ')[i * {_LINE_CHUNK} + 1 :
+                                                            i * {_LINE_CHUNK} + {_LINE_CHUNK}],
+                                    ' ')
+                                || CASE WHEN (doc_id + i) % 4 <> 0
+                                        THEN '.' ELSE '' END),
+                       CASE WHEN doc_id % 3 = 0 THEN ['{_BP_COPY}']
+                            ELSE [] END),
+                   list_concat(
+                       CASE WHEN doc_id % 5 = 0 THEN ['{_BP_NEWS}']
+                            ELSE [] END,
+                       CASE WHEN doc_id % 11 = 0 THEN ['{_BP_LOREM}']
+                            ELSE [] END)) AS lines
+        FROM documents
+    ),
+    doc_lines AS (
+        SELECT doc_id,
+               unnest(lines) AS line,
+               generate_subscripts(lines, 1) - 1 AS pos
+        FROM built
+    )
+"""
+
+
+def _doc_lines(d):
+    """Spark twin of _LINES_CTE: (doc_id, pos, line). One Generate over
+    a transform'd array — all expressions JVM builtins in codegen."""
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_LINE_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * _LINE_CHUNK + 1, _LINE_CHUNK), " "),
+            F.when(((F.col("doc_id") + i) % 4) != 0, F.lit(".")).otherwise(""),
+        ),
+    )
+
+    def _maybe(mod, line):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.array(F.lit(line))
+        ).otherwise(F.array().cast("array<string>"))
+
+    lines = F.concat(chunks, _maybe(3, _BP_COPY), _maybe(5, _BP_NEWS),
+                     _maybe(11, _BP_LOREM))
+    return d.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+
+
+_LINE_DEDUP_ORACLE = f"""
+    WITH {_LINES_CTE},
+    hot AS (
+        SELECT line FROM doc_lines
+        GROUP BY line
+        HAVING count(DISTINCT doc_id)
+               > 0.05 * (SELECT count(DISTINCT doc_id) FROM documents)
+    ),
+    marked AS (
+        SELECT l.doc_id, l.pos, l.line, (h.line IS NOT NULL) AS hot
+        FROM doc_lines l LEFT JOIN hot h USING (line)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_lines,
+           CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
+           coalesce(string_agg(CASE WHEN NOT hot THEN line END, chr(10)
+                               ORDER BY pos), '') AS clean_text
+    FROM marked GROUP BY doc_id"""
+
+
+@query("text_line_dedup", _LINE_DEDUP_ORACLE)
+def text_line_dedup(spark, sf_dir):
+    """Inter-document line-level dedup — the MassiveText/C4 boilerplate
+    step the §2.10 family lacked: lines repeated verbatim across more
+    than 5% of documents (copyright footers, newsletter pleas) are
+    removed from every document; docs are reassembled in line order
+    with per-doc drop counts.
+
+    Shape at 10^10 docs: explode → ONE distinct-doc count per line
+    (hash shuffle) → broadcast join of the hot set back → one groupBy
+    doc_id with an ordered reassembly. The hot set is PROVABLY tiny:
+    with relative threshold t and ≤L lines/doc, at most L/t distinct
+    lines can each exceed t·n_docs (here L≈30, t=0.05 → ≤600 lines at
+    ANY corpus size), so the broadcast never grows with the data —
+    unlike dedup-cluster's dupe set, which correctly avoids broadcast
+    (queries/dedup.py). The relative threshold also keeps the operator
+    scale-invariant (an absolute DF cap would silently change meaning
+    between sf0.001 and 10^10 docs)."""
+    d = load(spark, sf_dir, "documents")
+    lines = _doc_lines(d)
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") > 0.05 * F.col("n_docs"))
+        .select("line", F.lit(True).alias("hot"))
+    )
+    marked = lines.join(F.broadcast(hot), "line", "left").fillna(
+        False, subset=["hot"]
+    )
+    kept = F.filter(
+        F.sort_array(F.collect_list(F.struct("pos", "hot", "line"))),
+        lambda s: ~s["hot"],
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.col("hot").cast("int")).cast("int").alias("n_dropped"),
+        F.concat_ws("\n", F.transform(kept, lambda s: s["line"]))
+         .alias("clean_text"),
+    )
+
+
+_C4_ORACLE = f"""
+    WITH {_LINES_CTE},
+    judged AS (
+        SELECT doc_id, pos, line,
+               CASE WHEN contains(line, 'lorem ipsum') THEN 'block'
+                    WHEN len(string_split(line, ' ')) < 4 THEN 'short'
+                    WHEN NOT (line LIKE '%.') THEN 'punct'
+               END AS drop_reason
+        FROM doc_lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_lines,
+           CAST(sum(CASE WHEN drop_reason = 'block' THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_block,
+           CAST(sum(CASE WHEN drop_reason = 'short' THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_short,
+           CAST(sum(CASE WHEN drop_reason = 'punct' THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_punct,
+           coalesce(string_agg(CASE WHEN drop_reason IS NULL THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text
+    FROM judged GROUP BY doc_id"""
+
+
+@query("text_c4_clean", _C4_ORACLE)
+def text_c4_clean(spark, sf_dir):
+    """C4-style heuristic line cleaning (the public recipe: terminal-
+    punctuation filter, min-words-per-line, lorem-ipsum blocklist) with
+    per-rule drop counts per document. Rule precedence is pinned —
+    blocklist, then min-words, then punctuation — so each dropped line
+    is counted exactly once and both engines agree.
+
+    Map-only after the line explode: the judge CASE is one codegen
+    expression; the only shuffle is the per-doc reassembly groupBy.
+    Same Java∩RE2 discipline as text_pii_scrub — the rules here need
+    only substring/suffix/length tests, so the oracle runs literal
+    twins."""
+    d = load(spark, sf_dir, "documents")
+    lines = _doc_lines(d)
+    reason = (
+        F.when(F.col("line").contains("lorem ipsum"), "block")
+        .when(F.size(F.split("line", " ")) < 4, "short")
+        .when(~F.col("line").endswith("."), "punct")
+    )
+    judged = lines.withColumn("drop_reason", reason)
+    kept = F.filter(
+        F.sort_array(F.collect_list(F.struct("pos", "drop_reason", "line"))),
+        lambda s: s["drop_reason"].isNull(),
+    )
+
+    def _n(tag):
+        # when/otherwise, NOT a bare boolean cast: a kept line's NULL
+        # drop_reason would null the comparison, and a doc whose every
+        # line is kept would sum to NULL instead of 0
+        return (
+            F.sum(F.when(F.col("drop_reason") == tag, 1).otherwise(0))
+            .cast("int").alias(f"n_{tag}")
+        )
+
+    return judged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        _n("block"),
+        _n("short"),
+        _n("punct"),
+        F.concat_ws("\n", F.transform(kept, lambda s: s["line"]))
+         .alias("clean_text"),
+    )

@@ -300,3 +300,45 @@ def ann_ivf_kmeans(spark, sf_dir):
         n = sum(x * x for x in v) ** 0.5 or 1.0
         codebook.append([x / n for x in v])
     return _ivf_search(e, codebook)
+
+
+# ------------------------------------------------- hash-oracled verify twin
+# VERDICT r4 task #6: ann_lsh_bucketed is rows-only because recall is
+# probabilistic — but its OUTPUT is deterministic given the planes, and
+# the planes are an arithmetic hash (no RNG), so DuckDB can rebuild the
+# very same buckets from plane weights embedded as SQL literals and
+# re-rank with list_cosine_similarity. This twin therefore hash-proves
+# the production LSH dataflow itself (bucketing, candidate join, exact
+# re-rank, top-k tiebreak) — not an approximation of it.
+
+def _plane_sql(p: int) -> str:
+    ws = ", ".join(repr(_plane_weight(p, d)) for d in range(64))
+    return (f"CASE WHEN list_dot_product(embedding::DOUBLE[], [{ws}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END")
+
+
+_ANN_VERIFY_ORACLE = f"""
+    WITH eb AS (
+        SELECT vec_id, embedding,
+               ({" + ".join(_plane_sql(p) for p in range(N_PLANES))}) AS bucket
+        FROM embeddings
+    )
+    SELECT q_id, vec_id, round(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY cos DESC, e.vec_id) AS rn
+        FROM eb q JOIN eb e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+    WHERE rn <= {K}"""
+
+
+@query("ann_lsh_verify", _ANN_VERIFY_ORACLE)
+def ann_lsh_verify(spark, sf_dir):
+    """The ann_lsh_bucketed dataflow, hash-oracled: identical builder,
+    identical planes — the oracle recomputes the 8 sign-plane buckets
+    in SQL from the same literal weights and must reproduce every
+    (query, candidate, cosine, rank) row bit-for-bit (cos rounded 4)."""
+    return ann_lsh_bucketed(spark, sf_dir)
