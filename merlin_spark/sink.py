@@ -46,6 +46,7 @@ stats per file (recorded here too) for finer pruning.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import uuid
@@ -606,9 +607,12 @@ class IceboxSink:
         before AND after image, keyed to the same join row.
 
         Semantics are NET state diff, not event replay: a key rewritten
-        between the snapshots (winning ``_lsn`` changed) is an update
-        even if several events touched it; a key whose resolved state
-        is identical emits nothing. Tombstones count as absent (a key
+        between the snapshots is an update even if several events
+        touched it; a key whose resolved state is identical emits
+        nothing — including a key whose winning ``_lsn`` changed but
+        whose payload columns all match null-safely (ADVICE r4 #1: the
+        lsn-only test used to over-count such no-op rewrites against
+        this docstring). Tombstones count as absent (a key
         that died is a delete with its pre-image values; a tombstone
         garbage-collected by ``compact(drop_tombstones=True)`` emits
         nothing — the delete was reported when it happened).
@@ -646,7 +650,19 @@ class IceboxSink:
             )
 
         a_ok, b_ok = alive("a"), alive("b")
-        touched = F.col(f"a.{SYSTEM_LSN}") != F.col(f"b.{SYSTEM_LSN}")
+        # an update requires BOTH a new winning lsn AND a payload
+        # difference: comparing only _lsn would report a key rewritten
+        # to identical content; comparing only payload would miss
+        # nothing but pays the wide comparison even for untouched keys,
+        # so the cheap lsn test short-circuits it
+        payload = [c for c in out_cols if c != SYSTEM_LSN]
+        content_same = functools.reduce(
+            lambda x, y: x & y,
+            (F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in payload),
+        )
+        touched = (
+            F.col(f"a.{SYSTEM_LSN}") != F.col(f"b.{SYSTEM_LSN}")
+        ) & ~content_same
         changes = (
             F.when(
                 a_ok & b_ok & touched,

@@ -22,3 +22,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_dir_stats():
+    """Larger corpus for statistical assertions (stratified-rate and
+    split-fraction tolerances need ~500 docs): the sf0.01 sibling of
+    the configured sf_dir when present, else sf_dir itself — never a
+    hardcoded absolute path (ADVICE r4 #3)."""
+    sibling = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    return sibling if os.path.isdir(sibling) else SF_DIR

@@ -21,8 +21,18 @@ def _oracle_diff(log: pd.DataFrame, lsn_from: int) -> dict[str, set]:
     inserts = set(b.index) - set(a.index)
     deletes = set(a.index) - set(b.index)
     both = set(a.index) & set(b.index)
-    updates = {k for k in both if a.loc[k, "text"] != b.loc[k, "text"]
-               or a.loc[k, "ts"] != b.loc[k, "ts"]}
+    # full-payload diff (read_changes suppresses rewrites whose payload
+    # is identical null-safely, so the oracle must compare every
+    # user-visible column, not just text)
+    payload = [c for c in b.columns]
+    updates = {
+        k for k in both
+        if any(
+            not (pd.isna(a.loc[k, c]) and pd.isna(b.loc[k, c]))
+            and a.loc[k, c] != b.loc[k, c]
+            for c in payload
+        )
+    }
     return {"insert": inserts, "delete": deletes, "update": updates,
             "b_text": {k: b.loc[k, "text"] for k in updates | inserts},
             "a_text": {k: a.loc[k, "text"] for k in updates | deletes}}
@@ -57,11 +67,10 @@ def test_change_feed_matches_oracle_diff(spark):
     assert g_ins == exp["insert"]
     assert g_del == exp["delete"]
     assert g_pre == g_post
-    # every oracle-updated key must appear; read_changes may addition-
-    # ally report keys rewritten to identical content (lsn changed) —
-    # those are real rewrites, so require only the superset + verify
-    # every reported post-image matches the final oracle text
-    assert exp["update"] <= g_post
+    # EXACT equality (ADVICE r4 #1): content-identical rewrites are
+    # suppressed in read_changes, so the feed's update set must equal
+    # the full-payload oracle diff — no superset workaround
+    assert g_post == exp["update"]
     post = got[got._change_type.isin(["update_postimage", "insert"])]
     final = expected_state(log).set_index(["conv_id", "turn_idx"])["text"]
     for r in post.itertuples(index=False):

@@ -15,15 +15,14 @@ from merlin_spark.queries.pipeline import (
     text_pii_scrub,
 )
 
-SF = "/root/testdata/sf0.01"
 
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_pii_scrub_removes_every_injected_pattern(spark):
-    out = text_pii_scrub(spark, SF)
+def test_pii_scrub_removes_every_injected_pattern(spark, sf_dir_stats):
+    out = text_pii_scrub(spark, sf_dir_stats)
     # nothing email/phone/long-id shaped survives in clean_text
     leftovers = out.where(
         F.col("clean_text").rlike(r"[A-Za-z0-9._%+-]+@")
@@ -40,26 +39,26 @@ def test_pii_scrub_removes_every_injected_pattern(spark):
     assert out.where(~F.col("clean_text").contains("<EMAIL>")).count() == 0
 
 
-def test_split_is_deterministic_and_near_nominal_fraction(spark):
-    a = split_train_holdout(spark, SF).toPandas().set_index("doc_id")["split"]
-    b = split_train_holdout(spark, SF).toPandas().set_index("doc_id")["split"]
+def test_split_is_deterministic_and_near_nominal_fraction(spark, sf_dir_stats):
+    a = split_train_holdout(spark, sf_dir_stats).toPandas().set_index("doc_id")["split"]
+    b = split_train_holdout(spark, sf_dir_stats).toPandas().set_index("doc_id")["split"]
     assert a.sort_index().equals(b.sort_index())
     frac = (a == "holdout").mean()
     # nominal 13/256 ≈ 5.1%; 500 docs → give binomial slack
     assert 0.01 < frac < 0.12, frac
 
 
-def test_stratified_rates_differ_by_language(spark):
+def test_stratified_rates_differ_by_language(spark, sf_dir_stats):
     from pyspark.sql import functions as F  # noqa: F811
 
     from merlin_spark.io_util import load
 
     totals = (
-        load(spark, SF, "documents").groupBy("lang").count().toPandas()
+        load(spark, sf_dir_stats, "documents").groupBy("lang").count().toPandas()
         .set_index("lang")["count"]
     )
     kept = (
-        sample_stratified_hash(spark, SF).groupBy("lang").count().toPandas()
+        sample_stratified_hash(spark, sf_dir_stats).groupBy("lang").count().toPandas()
         .set_index("lang")["count"]
     )
     en_rate = kept.get("en", 0) / totals["en"]
@@ -69,12 +68,12 @@ def test_stratified_rates_differ_by_language(spark):
     assert 0.35 < other_kept / other_total < 0.65    # nominal 50%
 
 
-def test_decontaminate_detects_every_planted_canary(spark):
+def test_decontaminate_detects_every_planted_canary(spark, sf_dir_stats):
     """Every train doc carrying the planted canary sentence shares its
     canary 5-grams with the eval slice (7 eval canary docs exist at
     sf0.01), so ALL of them must be flagged; the flag must also be
     exactly (n_overlap > 0), and n_overlap bounded by n_grams."""
-    out = text_decontaminate(spark, SF).toPandas().set_index("doc_id")
+    out = text_decontaminate(spark, sf_dir_stats).toPandas().set_index("doc_id")
     canary_train = [i for i in out.index if i % 7 == 0]
     assert len(canary_train) > 0
     assert (out.loc[canary_train, "contaminated"] == 1).all()
@@ -88,7 +87,7 @@ def test_decontaminate_detects_every_planted_canary(spark):
     )
 
 
-def test_repetition_flags_degenerate_text(spark):
+def test_repetition_flags_degenerate_text(spark, sf_dir_stats):
     """A doc that is one phrase repeated collapses to a single distinct
     gram (dup fraction → 1); fully novel text keeps n == distinct
     (fraction 0) — the two poles the Gopher-style gate separates."""
@@ -112,12 +111,12 @@ def test_repetition_flags_degenerate_text(spark):
     assert g.loc[2, "n"] == 4 and g.loc[2, "d"] == 4
 
 
-def test_pack_sequences_invariants(spark):
+def test_pack_sequences_invariants(spark, sf_dir_stats):
     """Within every shard: offsets/pack ids are exactly the running-sum
     layout (first doc at pack 0 offset 0, assignments monotone in
     doc_id), every offset < budget, and a doc straddles iff its span
     crosses a budget boundary."""
-    df = pack_sequences(spark, SF).toPandas()
+    df = pack_sequences(spark, sf_dir_stats).toPandas()
     assert (df["pack_offset"] < _PACK_BUDGET).all()
     assert (df["pack_offset"] >= 0).all()
     for _, g in df.groupby("shard"):
@@ -136,10 +135,10 @@ def test_pack_sequences_invariants(spark):
     assert (df["straddles"] == 0).sum() > 0
 
 
-def test_all_three_plans_are_map_only(spark):
+def test_all_three_plans_are_map_only(spark, sf_dir_stats):
     """No Exchange (shuffle) and no Python eval in any of the three —
     the 100 TB plan is one scan with codegen'd expressions."""
     for fn in (text_pii_scrub, split_train_holdout, sample_stratified_hash):
-        plan = _plan(fn(spark, SF))
+        plan = _plan(fn(spark, sf_dir_stats))
         assert "Exchange" not in plan, fn.__name__
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, fn.__name__
