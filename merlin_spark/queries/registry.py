@@ -61,8 +61,9 @@ DRIVER_WINDOW = 50
 #      confirmation round);
 #   5. greens:2 keys whose latest green is r3 (unchecked r4 — keep them
 #      under the two-consecutive-rounds cap);
-#   6. three CDC-core refreshers (thrice-green, last r3) — the hot-path
-#      LWW/normalize semantics get a fourth look in the final round.
+#   6. one CDC-core refresher (thrice-green, last r3) — LWW gets a
+#      fourth look in the final round (normalize + max_by semantics are
+#      additionally re-proven inside transcript_sft_pairs' oracle).
 # Everything in _BACK carries >= 2 hash-greens with the most recent in
 # r3 or r4, so nothing outside the window is ever more than one round
 # stale entering r5's check.
@@ -74,6 +75,8 @@ _FRONT = [
     "text_c4_clean",
     "dedup_minhash_verify",
     "ann_lsh_verify",
+    "ann_ivf_verify",
+    "text_winnow_verify",
     "lineage_replay_audit",
     "shuffle_for_training",
     # --- 2. permanently rows-only by design (sketch/hash/binary) ---
@@ -120,10 +123,12 @@ _FRONT = [
     "agg_pivot",
     "set_unpivot",
     "win_rank_extended",
-    # --- 6. CDC-core refreshers (thrice-green, last r3) ---
+    # --- 6. CDC-core refresher (thrice-green, last r3): LWW itself.
+    # (agg_lww_maxby / udf_normalize_text — also thrice-green — yielded
+    # their slots to the ann_ivf/text_winnow verify twins; their
+    # semantics are re-proven end-to-end by transcript_sft_pairs, whose
+    # oracle recomputes the LWW winners AND the normalize spec.) ---
     "win_lww_dedup",
-    "agg_lww_maxby",
-    "udf_normalize_text",
 ]
 
 _BACK = [
@@ -159,6 +164,8 @@ _BACK = [
     "text_quality",
     "text_token_count",
     # thrice-green keys, latest r3
+    "agg_lww_maxby",
+    "udf_normalize_text",
     "join_smj_orders_lineitem",
     "join_salted_skew",
     "subquery_decorrelated",

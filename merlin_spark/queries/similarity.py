@@ -342,3 +342,57 @@ def ann_lsh_verify(spark, sf_dir):
     in SQL from the same literal weights and must reproduce every
     (query, candidate, cosine, rank) row bit-for-bit (cos rounded 4)."""
     return ann_lsh_bucketed(spark, sf_dir)
+
+
+def _cent_sql() -> str:
+    """VALUES rows (cell, weight-list) for the pseudo-codebook — the
+    same `_plane_weight(100 + c, d)` literals `_cell_dots` folds into
+    codegen, re-expressed for DuckDB."""
+    rows = []
+    for c in range(K_CELLS):
+        ws = ", ".join(repr(_plane_weight(100 + c, d)) for d in range(64))
+        rows.append(f"({c}, [{ws}])")
+    return ", ".join(rows)
+
+
+_IVF_VERIFY_ORACLE = f"""
+    WITH dots AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], c.w) AS dot
+        FROM embeddings e CROSS JOIN (VALUES {{cents}}) AS c(cell, w)
+    ),
+    corpus AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS arn
+            FROM dots) WHERE arn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell DESC) AS prn
+            FROM dots WHERE vec_id < {N_QUERIES}) WHERE prn <= {NPROBE}
+    )
+    SELECT q_id, vec_id, round(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT p.q_id, c.vec_id,
+               list_cosine_similarity(p.q_emb::DOUBLE[],
+                                      c.embedding::DOUBLE[]) AS cos,
+               row_number() OVER (PARTITION BY p.q_id
+                                  ORDER BY cos DESC, c.vec_id) AS rn
+        FROM probes p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id)
+    WHERE rn <= {K}""".replace("{cents}", _cent_sql())
+
+
+@query("ann_ivf_verify", _IVF_VERIFY_ORACLE)
+def ann_ivf_verify(spark, sf_dir):
+    """The ann_ivf_topk dataflow, hash-oracled: identical builder and
+    pseudo-codebook — the oracle rebuilds the argmax-dot cell
+    assignment (smallest cell wins dot ties, as array_position does),
+    the NPROBE best cells per query (largest cell wins ties, as the
+    reverse-sorted slice does), and the exact cosine re-rank, from the
+    same centroid literals. Hash-proves the inverted-list machinery the
+    rows-only IVF keys rely on."""
+    return ann_ivf_topk(spark, sf_dir)

@@ -220,3 +220,67 @@ def text_winnow_fingerprint(spark, sf_dir):
             F.coalesce("fp_xor", F.lit(0).cast("long")).alias("fp_xor"),
         )
     )
+
+
+# ------------------------------------------------- hash-oracled verify twin
+# VERDICT r4 task #6 (third twin): winnowing is rows-only because the
+# shingle hash is xxhash64; with md5 — a hash DuckDB shares — the FULL
+# fingerprint SET is oracle-checkable, proving the relational winnowing
+# machinery (posexplode → lead-shingles → window-min → distinct) row
+# for row, not just its count/xor summary.
+
+_WINNOW_VERIFY_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               md5({" || ' ' || ".join(
+                   "tok" if k == 0 else f"lead(tok, {k}) OVER w"
+                   for k in range(WINNOW_W))}) AS gram,
+               lead(tok, {WINNOW_W - 1}) OVER w IS NOT NULL AS _full
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    mins AS (
+        SELECT doc_id,
+               min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND {WINNOW_WIN - 1} FOLLOWING) AS fp,
+               lead(gram, {WINNOW_WIN - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS _v
+        FROM (SELECT * FROM grams WHERE _full)
+    )
+    SELECT DISTINCT doc_id, fp FROM mins WHERE _v"""
+
+
+@query("text_winnow_verify", _WINNOW_VERIFY_ORACLE)
+def text_winnow_verify(spark, sf_dir):
+    """md5 twin of winnow_fingerprint_table emitting the full
+    fingerprint set (doc_id, fp) — same relational passes sharing one
+    doc-id partitioning, hash function swapped to md5 so the DuckDB
+    oracle reproduces every selected fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingle_parts = [F.col("tok")] + [
+        F.lead("tok", k).over(w) for k in range(1, WINNOW_W)
+    ]
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", *shingle_parts)).alias("gram"),
+        F.lead("tok", WINNOW_W - 1).over(w).isNotNull().alias("_full"),
+    ).where("_full")
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, WINNOW_WIN - 1)
+    mins = grams.select(
+        "doc_id",
+        F.min("gram").over(wmin).alias("fp"),
+        F.lead("gram", WINNOW_WIN - 1).over(w).isNotNull().alias("_v"),
+    ).where("_v")
+    return mins.select("doc_id", "fp").distinct()
