@@ -35,10 +35,27 @@ print(1 if healthy(json.loads(sys.argv[1])) else 0)" "$p")
   prev_ok="$ok"
   if [ "$ok" = "1" ]; then
     echo "[scaling-hunt-r5] clean window (2 consecutive): $p" >&2
+    # Capture order matters: the 2M-event gate-reproof (~2 min, the r4
+    # pattern — replay bench with per-rep probe gating, one token query
+    # so the BENCH/ file is replay-focused) fires FIRST so even a short
+    # window banks it; the 10^8 ladder (~30+ min) follows.
+    if [ ! -f "$REPO/BENCH/queries_r05_gatereproof.json" ]; then
+      MERLIN_BENCH_TAG=r05_gatereproof MERLIN_BENCH_QUERIES=changelog_scan \
+        python "$REPO/bench.py" > /tmp/bench_r05_gate.log 2>&1
+      if python -c "
+import json, sys
+line = open('/tmp/bench_r05_gate.log').read().strip().splitlines()[-1]
+sys.exit(0 if json.loads(line).get('quiet') else 1)"; then
+        echo "[scaling-hunt-r5] quiet 2M gate-reproof captured" >&2
+      else
+        rm -f "$REPO/BENCH/queries_r05_gatereproof.json"
+        echo "[scaling-hunt-r5] gate-reproof ran non-quiet; will retry" >&2
+      fi
+    fi
     python "$REPO/bench/run_scaling.py" --events "$EVENTS" \
       --levels 4,8,32 --repeats 1 --out "$REPO/BENCH/SCALING_r05.md" \
-      && exit 0
-    echo "[scaling-hunt-r5] ladder failed; continuing hunt" >&2
+      && [ -f "$REPO/BENCH/queries_r05_gatereproof.json" ] && exit 0
+    echo "[scaling-hunt-r5] ladder failed or gate pending; continuing hunt" >&2
   fi
   sleep 120
 done
