@@ -152,7 +152,9 @@ def dedup_cluster_canonical(spark, sf_dir):
     2-3 rounds suffice at any corpus size (the per-round work is fully
     distributed — the driver only checks the converged flag). At
     10^10 docs swap the propagation for the large-star/small-star
-    alternation (same join primitives, O(log n) worst-case rounds)."""
+    alternation — implemented in merlin_spark/graph.py and driven by
+    the `dedup_cluster_bigstar` twin qkey (same oracle, O(log^2 n)
+    rounds regardless of component diameter)."""
     p = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = p.unionByName(
         p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -193,6 +195,44 @@ def dedup_cluster_canonical(spark, sf_dir):
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_cluster_bigstar",
+    f"""WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id,
+               least(a, min(b)) AS cluster_id,
+               a = least(a, min(b)) AS is_canonical
+        FROM reach GROUP BY a""",
+)
+def dedup_cluster_bigstar(spark, sf_dir):
+    """`dedup_cluster_canonical` computed by the large-star/small-star
+    alternation (merlin_spark/graph.py) instead of min-label
+    propagation — same pair graph, same canonical output, same
+    recursive-CTE oracle, so the driver hash proves the two
+    implementations agree. This is the 10^10-edge path the propagation
+    docstring promises: O(log^2 n) rounds regardless of component
+    diameter (propagation is O(diameter)), each round one hash shuffle
+    + one aggregate, neighbor sets never materialized as arrays.
+    Long-chain convergence pinned in tests/test_graph_cc.py."""
+    from ..graph import connected_components
+
+    p = dedup_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels, _ = connected_components(p)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     ).orderBy("doc_id")
 
 

@@ -182,6 +182,12 @@ _BACK = [
     "lineage_op_counts",
     "dedup_exact",
     "dedup_jaccard_pairs",
+    # NEW in r5 but deliberately outside the full 50-slot window: the
+    # big-star CC twin shares dedup_cluster_canonical's oracle (which
+    # IS in-window), so its hash equivalence is proven locally by
+    # tests/test_queries_oracle.py + tests/test_graph_cc.py while the
+    # driver slots go to keys with no other hash evidence.
+    "dedup_cluster_bigstar",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Large-star/small-star connected components (merlin_spark/graph.py).
+
+Pins the properties the propagation form cannot offer: logarithmic
+round count on long-diameter graphs, plus exact equivalence with the
+min-label propagation qkey on the real near-dup pair graph.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from merlin_spark.graph import connected_components
+from merlin_spark.queries.dedup import (
+    dedup_cluster_bigstar,
+    dedup_cluster_canonical,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def _labels(spark, pairs, **kw):
+    labels, rounds = connected_components(_edges(spark, pairs), **kw)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    return got, rounds
+
+
+def test_two_cliques_and_a_bridge(spark):
+    pairs = (
+        [(i, j) for i in range(0, 4) for j in range(i + 1, 4)]
+        + [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+        + [(20, 21)]
+    )
+    got, _ = _labels(spark, pairs)
+    assert got == {**{n: 0 for n in range(0, 4)},
+                   **{n: 10 for n in range(10, 14)},
+                   20: 20, 21: 20}
+
+
+def test_duplicate_selfloop_and_reversed_edges_tolerated(spark):
+    got, _ = _labels(spark, [(1, 2), (2, 1), (2, 2), (1, 2), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 64-node path (diameter 63): min-label propagation needs ~63
+    rounds (> its _CLUSTER_MAX_ITERS); the star alternation must finish
+    in O(log^2 n) — well under 12 — with every node labeled 0."""
+    pairs = [(i, i + 1) for i in range(63)]
+    got, rounds = _labels(spark, pairs)
+    assert got == {n: 0 for n in range(64)}
+    assert rounds <= 12, f"star alternation took {rounds} rounds on a chain"
+
+
+def test_adversarial_descending_chain(spark):
+    """Same chain but labels ordered against the orientation (node 0 at
+    the far end), so min information must travel the full diameter."""
+    pairs = [(63 - i, 63 - i - 1) for i in range(63)]
+    got, rounds = _labels(spark, pairs)
+    assert got == {n: 0 for n in range(64)}
+    assert rounds <= 12
+
+
+def test_round_budget_enforced(spark):
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(63)]), max_rounds=1
+        )
+
+
+def test_bigstar_qkey_matches_propagation_qkey(spark, sf_dir):
+    """The two CC implementations must produce identical
+    (doc_id, cluster_id, is_canonical) rows on the real exact-Jaccard
+    pair graph — the equivalence the shared DuckDB oracle asserts,
+    checked here Spark-vs-Spark as well."""
+    a = dedup_cluster_canonical(spark, sf_dir)
+    b = dedup_cluster_bigstar(spark, sf_dir)
+    sym_diff = a.exceptAll(b).unionByName(b.exceptAll(a))
+    assert sym_diff.count() == 0
+    assert a.count() == b.count() > 0
+
+
+def test_string_node_ids(spark):
+    """Node type follows the edge columns (doc ids are strings in the
+    real pair graph at some call sites) — min/least must order
+    lexicographically, not fail."""
+    edges = spark.createDataFrame(
+        [("d2", "d9"), ("d9", "d4"), ("x1", "x2")], "a string, b string"
+    )
+    labels, _ = connected_components(edges)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {"d2": "d2", "d9": "d2", "d4": "d2", "x1": "x1", "x2": "x1"}
