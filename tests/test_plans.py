@@ -89,3 +89,34 @@ def test_range_join_not_cartesian(spark, sf_dir):
     join with residual condition — never a cartesian product."""
     p = _plan(registry.QUERIES["join_range_events"](spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+_PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+             "MapInPandas", "FlatMapCoGroupsInPandas")
+
+
+def test_c4_clean_and_pii_scrub_python_free(spark, sf_dir):
+    """Both ops claim map-only codegen judging (SURVEY §2.10): the rule
+    CASE / regexp chain must stay JVM-side — any Python eval node means
+    the hot path silently fell off the vectorized design."""
+    for key in ("text_c4_clean", "text_pii_scrub"):
+        p = _plan(registry.QUERIES[key](spark, sf_dir))
+        hits = [n for n in _PY_NODES if n in p]
+        assert not hits, f"{key} plan contains Python nodes: {hits}"
+
+
+def test_line_dedup_hot_set_is_broadcast(spark, sf_dir):
+    """text_line_dedup's scale story hinges on the hot-line set being
+    broadcast (provably ≤ lines-per-doc/threshold rows at any corpus
+    size); a shuffle join back onto the exploded lines would add a
+    full extra exchange of the big side."""
+    p = _plan(registry.QUERIES["text_line_dedup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_epoch_shuffle_has_no_global_sort(spark, sf_dir):
+    """shuffle_for_training claims a distributed per-shard permutation,
+    never a global ORDER BY: rangepartitioning in the exchange would
+    mean a driver-sampled total sort that serializes at 10^10 packs."""
+    p = _plan(registry.QUERIES["shuffle_for_training"](spark, sf_dir))
+    assert "rangepartitioning" not in p.lower()
