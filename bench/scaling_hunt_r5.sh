@@ -33,6 +33,16 @@ print(1 if healthy(json.loads(sys.argv[1])) else 0)" "$p")
     continue
   fi
   prev_ok="$ok"
+  # Foreground-work guard: the builder touches this file around its own
+  # heavy local runs (full pytest, sf0.1 query loops) so the ladder
+  # never fires into a window that is only "healthy" because the noise
+  # is OUR OWN — those runs don't show as steal, so the probe alone
+  # cannot see them.
+  if [ "$ok" = "1" ] && [ -f /tmp/merlin_fg_busy ]; then
+    echo "[scaling-hunt-r5] clean window but foreground busy; holding" >&2
+    sleep 60
+    continue
+  fi
   if [ "$ok" = "1" ]; then
     echo "[scaling-hunt-r5] clean window (2 consecutive): $p" >&2
     # Capture order matters: the 2M-event gate-reproof (~2 min, the r4
