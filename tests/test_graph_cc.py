@@ -82,6 +82,41 @@ def test_bigstar_qkey_matches_propagation_qkey(spark, sf_dir):
     assert a.count() == b.count() > 0
 
 
+def _union_find_labels(pairs):
+    """Pure-Python oracle: min node id per component via union-find."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [7, 77, 777, 7777])
+def test_random_graphs_match_union_find(spark, seed):
+    """Seeded random graphs (mixed density, isolated-pair tails, up to
+    80 nodes) vs a driver-side union-find oracle — the repo's seeded
+    randomized-property pattern (tests/test_property.py) applied to the
+    star-alternation CC."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(10, 80)
+    m = rng.randint(n // 2, 3 * n)
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+    got, _ = _labels(spark, pairs)
+    assert got == _union_find_labels(pairs)
+
+
 def test_string_node_ids(spark):
     """Node type follows the edge columns (doc ids are strings in the
     real pair graph at some call sites) — min/least must order
