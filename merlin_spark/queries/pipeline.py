@@ -419,10 +419,18 @@ def pack_sequences(spark, sf_dir):
     fraction of straddlers is the packer's truncation-loss metric).
     Deterministic — order is (shard, doc_id), no RNG — so packs are
     reproducible across reruns and engines, which is what makes the
-    split/pack pair safely resumable under incremental ingest."""
+    split/pack pair safely resumable under incremental ingest: docs
+    arriving with higher doc_ids sort after every already-packed doc in
+    their shard, so existing assignments never move (prefix stability —
+    pinned in tests/test_pipeline_ops.py)."""
+    return pack_docs(load(spark, sf_dir, "documents"))
+
+
+def pack_docs(d):
+    """The packer over any (doc_id, text) DataFrame — split out so the
+    prefix-stability property is testable on arbitrary subsets."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     base = d.select(
         "doc_id",

@@ -135,6 +135,24 @@ def test_pack_sequences_invariants(spark, sf_dir_stats):
     assert (df["straddles"] == 0).sum() > 0
 
 
+def test_pack_prefix_stable_under_incremental_ingest(spark, sf_dir_stats):
+    """The resumability claim, pinned: packing only the docs with
+    doc_id ≤ cutoff must yield EXACTLY the assignments those docs have
+    when the full corpus is packed — later-arriving (higher-id) docs
+    sort after them in every shard, so a CDC-appended batch never moves
+    an already-emitted pack."""
+    from merlin_spark.io_util import load
+    from merlin_spark.queries.pipeline import pack_docs
+
+    d = load(spark, sf_dir_stats, "documents")
+    cutoff = d.approxQuantile("doc_id", [0.6], 0.0)[0]
+    full = pack_docs(d).where(F.col("doc_id") <= cutoff)
+    prefix = pack_docs(d.where(F.col("doc_id") <= cutoff))
+    diff = full.exceptAll(prefix).unionByName(prefix.exceptAll(full))
+    assert diff.count() == 0
+    assert prefix.count() > 0
+
+
 def test_all_three_plans_are_map_only(spark, sf_dir_stats):
     """No Exchange (shuffle) and no Python eval in any of the three —
     the 100 TB plan is one scan with codegen'd expressions."""
