@@ -82,7 +82,9 @@ def connected_components(
     and ``b`` (any orientation; duplicates and self-loops tolerated).
     Returns ``(labels, rounds)`` where labels has columns
     ``(node, label)`` covering every node incident to at least one
-    edge, and ``rounds`` is the number of large+small alternations the
+    NON-self-loop edge (a node appearing only as ``(x, x)`` has no
+    component peers and is dropped with the loop, same as an isolated
+    node), and ``rounds`` is the number of large+small alternations the
     fixpoint took (O(log^2 n) worst case — a 2^k-diameter chain needs
     ~k, not 2^k).
 

@@ -82,6 +82,16 @@ def test_bigstar_qkey_matches_propagation_qkey(spark, sf_dir):
     assert a.count() == b.count() > 0
 
 
+def test_degenerate_inputs(spark):
+    """Empty graph and self-loop-only graph both converge round 1 with
+    no labels (a self-loop node has no peers — dropped like an isolated
+    node, per the docstring)."""
+    empty, r1 = connected_components(_edges(spark, []))
+    assert empty.count() == 0 and r1 == 1
+    loops, r2 = connected_components(_edges(spark, [(5, 5), (9, 9)]))
+    assert loops.count() == 0 and r2 == 1
+
+
 def _union_find_labels(pairs):
     """Pure-Python oracle: min node id per component via union-find."""
     parent: dict = {}
