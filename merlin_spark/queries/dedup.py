@@ -593,3 +593,106 @@ def dedup_minhash_verify(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------------------------ simhash
+# verify twin. Bit b (0 = LSB) of the 64-bit token hash, read out of the
+# first 16 hex chars of md5(token) — nibble-wise so BOTH engines evaluate
+# the identical integer expression (Spark `conv(hexchar,16,10)` ==
+# DuckDB `instr('0123456789abcdef', hexchar) - 1`; no 64-bit parse, so no
+# signed-overflow divergence on values >= 2^63).
+def _sv_bit_sql(b: int) -> str:
+    return (
+        f"(((instr('0123456789abcdef', substr(h, {16 - b // 4}, 1)) - 1)"
+        f" >> {b % 4}) & 1)"
+    )
+
+
+_SIMHASH_VERIFY_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    hs AS (SELECT doc_id, md5(w) AS h FROM tok),
+    votes AS (
+        SELECT doc_id, count(*) AS n,
+               {", ".join(f"sum({_sv_bit_sql(b)}) AS v{b}" for b in range(64))}
+        FROM hs GROUP BY doc_id
+    ),
+    bits AS (
+        SELECT doc_id,
+               {", ".join(f"CASE WHEN 2 * v{b} > n THEN 1 ELSE 0 END AS s{b}"
+                          for b in range(64))}
+        FROM votes
+    )
+    SELECT doc_id,
+           {" || ".join(
+               "substr('0123456789abcdef', 1 + "
+               + " + ".join(f"{1 << j} * s{(16 - k) * 4 + j}" for j in range(4))
+               + ", 1)"
+               for k in range(1, 17))} AS simhash_hex,
+           {", ".join(
+               f"CAST({256 * b} + "
+               + " + ".join(f"{1 << j} * s{b * 8 + j}" for j in range(8))
+               + f" AS INTEGER) AS band{b}"
+               for b in range(8))}
+    FROM bits ORDER BY doc_id"""
+
+
+@query("dedup_simhash_verify", _SIMHASH_VERIFY_ORACLE)
+def dedup_simhash_verify(spark, sf_dir):
+    """md5-bit twin of `dedup_simhash`: the IDENTICAL dataflow —
+    distinct tokens → 64 per-bit ±1 votes in one aggregate → majority
+    sign → packed hex + 8×8-bit multi-band blocking keys — with the
+    token hash read from md5 so DuckDB recomputes every stage and the
+    driver hash-checks the machinery end-to-end (votes, majority
+    threshold, bit packing, band extraction). Production keeps
+    xxhash64 (one JVM hash vs 16 nibble reads); this twin exists so
+    the rows-only production key's every moving part is hash-proven.
+    All expressions are plain Spark-SQL (whole-stage codegen; no
+    Python). Same shape at scale: explode → one hash shuffle."""
+    d = load(spark, sf_dir, "documents")
+    hs = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    ).withColumn("h", F.md5("w"))
+
+    def bit(b: int):
+        nib = F.conv(F.substring("h", 16 - b // 4, 1), 16, 10).cast("int")
+        return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+
+    votes = hs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(bit(b)).alias(f"v{b}") for b in range(64)],
+    )
+    bits = votes.select(
+        "doc_id",
+        *[
+            F.when(F.col(f"v{b}") * 2 > F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"s{b}")
+            for b in range(64)
+        ],
+    )
+    hex_col = F.concat(
+        *[
+            F.expr(
+                "substr('0123456789abcdef', 1 + "
+                + " + ".join(f"{1 << j} * s{(16 - k) * 4 + j}" for j in range(4))
+                + ", 1)"
+            )
+            for k in range(1, 17)
+        ]
+    )
+    return bits.select(
+        "doc_id",
+        hex_col.alias("simhash_hex"),
+        *[
+            F.expr(
+                f"CAST({256 * b} + "
+                + " + ".join(f"{1 << j} * s{b * 8 + j}" for j in range(8))
+                + f" AS INT) AS band{b}"
+            )
+            for b in range(8)
+        ],
+    ).orderBy("doc_id")

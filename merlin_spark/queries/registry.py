@@ -60,10 +60,9 @@ DRIVER_WINDOW = 50
 #   4. every key hash-green for the FIRST time in r4 (second
 #      confirmation round);
 #   5. greens:2 keys whose latest green is r3 (unchecked r4 — keep them
-#      under the two-consecutive-rounds cap);
-#   6. one CDC-core refresher (thrice-green, last r3) — LWW gets a
-#      fourth look in the final round (normalize + max_by semantics are
-#      additionally re-proven inside transcript_sft_pairs' oracle).
+#      under the two-consecutive-rounds cap), minus the two slot-yields
+#      documented inline (udtf_parse_wal, win_lww_dedup: each has an
+#      in-window twin carrying its semantics).
 # Everything in _BACK carries >= 2 hash-greens with the most recent in
 # r3 or r4, so nothing outside the window is ever more than one round
 # stale entering r5's check.
@@ -74,11 +73,13 @@ _FRONT = [
     "text_line_dedup",
     "text_c4_clean",
     "dedup_minhash_verify",
+    "dedup_simhash_verify",
     "ann_lsh_verify",
     "ann_ivf_verify",
     "text_winnow_verify",
     "lineage_replay_audit",
     "shuffle_for_training",
+    "dedup_cluster_bigstar",
     # --- 2. permanently rows-only by design (sketch/hash/binary) ---
     "dedup_simhash",
     "mm_embed_binary",
@@ -118,20 +119,29 @@ _FRONT = [
     "text_decontaminate",
     "pack_sequences",
     "text_repetition",
-    # --- 5. greens:2 with latest green in r3 (unchecked r4) ---
-    "udtf_parse_wal",
+    # --- 5. greens:2 with latest green in r3 (unchecked r4).
+    # (udtf_parse_wal — also greens:2/latest-r3 — yielded its slot to
+    # dedup_cluster_bigstar: the UDTF shares wal_parse_builtin's oracle
+    # and that key IS in this window (category 4), so the demo's
+    # semantics still get a driver check through its production twin,
+    # while bigstar would otherwise get NO driver signal ever.) ---
     "agg_pivot",
     "set_unpivot",
     "win_rank_extended",
-    # --- 6. CDC-core refresher (thrice-green, last r3): LWW itself.
-    # (agg_lww_maxby / udf_normalize_text — also thrice-green — yielded
-    # their slots to the ann_ivf/text_winnow verify twins; their
-    # semantics are re-proven end-to-end by transcript_sft_pairs, whose
-    # oracle recomputes the LWW winners AND the normalize spec.) ---
-    "win_lww_dedup",
+    # (win_lww_dedup — the planned thrice-green CDC-core refresher —
+    # yielded its slot to dedup_simhash_verify: LWW winner semantics
+    # are re-proven end-to-end inside in-window transcript_sft_pairs,
+    # whose oracle recomputes the LWW replay + normalize spec from the
+    # raw log, as agg_lww_maxby / udf_normalize_text already did when
+    # they gave up their slots to the ann_ivf/text_winnow twins.) ---
 ]
 
 _BACK = [
+    # rotated out in favor of first-signal r5 keys (see category-5
+    # notes above): both have an in-window twin sharing their oracle
+    # or re-proving their semantics end-to-end
+    "udtf_parse_wal",
+    "win_lww_dedup",
     # greens:2 whose latest green is r4 — safe to sit out exactly one
     # round; ordered FIRST in _BACK so that, if any planned r5 key is
     # not yet registered, the keys pulled up into the window are the
@@ -182,12 +192,6 @@ _BACK = [
     "lineage_op_counts",
     "dedup_exact",
     "dedup_jaccard_pairs",
-    # NEW in r5 but deliberately outside the full 50-slot window: the
-    # big-star CC twin shares dedup_cluster_canonical's oracle (which
-    # IS in-window), so its hash equivalence is proven locally by
-    # tests/test_queries_oracle.py + tests/test_graph_cc.py while the
-    # driver slots go to keys with no other hash evidence.
-    "dedup_cluster_bigstar",
 ]
 
 
