@@ -142,6 +142,12 @@ _BACK = [
     # or re-proving their semantics end-to-end
     "udtf_parse_wal",
     "win_lww_dedup",
+    # NEW in r5 but outside the full window by design: the multiprobe
+    # verify twin's bucketing machinery is already driver-proven by
+    # in-window ann_lsh_verify; its one delta (the Hamming-1 XOR probe
+    # expansion) is hash-proven locally by tests/test_queries_oracle.py
+    # running the identical compare against its DuckDB oracle.
+    "ann_multiprobe_verify",
     # greens:2 whose latest green is r4 — safe to sit out exactly one
     # round; ordered FIRST in _BACK so that, if any planned r5 key is
     # not yet registered, the keys pulled up into the window are the

@@ -396,3 +396,43 @@ def ann_ivf_verify(spark, sf_dir):
     same centroid literals. Hash-proves the inverted-list machinery the
     rows-only IVF keys rely on."""
     return ann_ivf_topk(spark, sf_dir)
+
+
+_MULTIPROBE_VERIFY_ORACLE = f"""
+    WITH eb AS (
+        SELECT vec_id, embedding,
+               ({" + ".join(_plane_sql(p) for p in range(N_PLANES))}) AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+               xor(q.bucket, m.mask) AS bucket
+        FROM eb q CROSS JOIN (VALUES {", ".join(
+            f"({m})" for m in [0] + [1 << p for p in range(N_PLANES)])})
+            AS m(mask)
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT q_id, vec_id, round(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT p.q_id, e.vec_id,
+               list_cosine_similarity(p.q_emb::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS cos,
+               row_number() OVER (PARTITION BY p.q_id
+                                  ORDER BY cos DESC, e.vec_id) AS rn
+        FROM probes p JOIN eb e ON e.bucket = p.bucket
+                              AND e.vec_id <> p.q_id)
+    WHERE rn <= {K}"""
+
+
+@query("ann_multiprobe_verify", _MULTIPROBE_VERIFY_ORACLE)
+def ann_multiprobe_verify(spark, sf_dir):
+    """The ann_lsh_multiprobe dataflow, hash-oracled: identical builder
+    — the oracle rebuilds the sign-plane buckets from the same literal
+    weights, expands each query to its 9 probe ids (bucket XOR 0 and
+    XOR each single bit, exactly the Hamming-1 ball the builder
+    explodes), and re-ranks with exact cosine. Completes the LSH-family
+    machinery proofs: bucketing (ann_lsh_verify) + probe expansion
+    (here). Outside the 50-slot driver window (every slot is spoken
+    for by first-signal/rows-only/freshness-obligation keys);
+    tests/test_queries_oracle.py runs the identical compare locally."""
+    return ann_lsh_multiprobe(spark, sf_dir)
