@@ -80,6 +80,14 @@ _FRONT = [
     "lineage_replay_audit",
     "shuffle_for_training",
     "dedup_cluster_bigstar",
+    # (late r5) bound-check twins for the LAST two sketch families
+    # without hash evidence: the HLL/GK error guarantees become
+    # driver-hashable booleans. They take the slots of agg_pivot /
+    # set_unpivot (greens:2, latest r3) — in the FINAL round a
+    # first-ever hash-proof of a sketch bound is worth more than a
+    # third confirmation, and there is no r6 for freshness debt.
+    "agg_approx_distinct_verify",
+    "agg_percentiles_approx_verify",
     # --- 2. permanently rows-only by design (sketch/hash/binary) ---
     "dedup_simhash",
     "mm_embed_binary",
@@ -125,8 +133,6 @@ _FRONT = [
     # and that key IS in this window (category 4), so the demo's
     # semantics still get a driver check through its production twin,
     # while bigstar would otherwise get NO driver signal ever.) ---
-    "agg_pivot",
-    "set_unpivot",
     "win_rank_extended",
     # (win_lww_dedup — the planned thrice-green CDC-core refresher —
     # yielded its slot to dedup_simhash_verify: LWW winner semantics
@@ -137,6 +143,11 @@ _FRONT = [
 ]
 
 _BACK = [
+    # greens:2/latest-r3 refreshers that yielded their slots to the
+    # late-r5 HLL/GK bound-check twins (category-1 note): final round,
+    # so a never-checked sketch bound beats a third confirmation
+    "agg_pivot",
+    "set_unpivot",
     # rotated out in favor of first-signal r5 keys (see category-5
     # notes above): both have an in-window twin sharing their oracle
     # or re-proving their semantics end-to-end

@@ -343,6 +343,48 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+_APPROX_DISTINCT_VERIFY_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg_approx_distinct_verify", _APPROX_DISTINCT_VERIFY_ORACLE)
+def agg_approx_distinct_verify(spark, sf_dir):
+    """Verify twin for the rows-only ``agg_approx_distinct`` (the r5
+    twin pattern: the sketch's documented error guarantee becomes a
+    driver-hashable boolean). HLL++ with rsd=0.02 estimates within 3
+    relative standard deviations (6%) except with ~0.3% probability;
+    on this fixed fixture the estimate is deterministic, so
+    ``within_bound`` is a stable column the driver hash-checks against
+    the oracle's literal TRUE — if the HLL estimate ever drifts
+    outside its bound (or the column wiring breaks), the hash
+    mismatches. The estimate VALUE itself stays un-emitted: it is
+    engine-specific, which is exactly why the sibling key is
+    rows-only. ``greatest(1, …)`` floors the band for tiny groups
+    where 6% of the count rounds below one."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_est"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(1.0), F.lit(3 * 0.02) * F.col("exact_users")
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
 @query(
     "agg_rollup",
     """SELECT l_returnflag, l_linestatus,
@@ -890,6 +932,60 @@ def agg_percentiles_approx(spark, sf_dir):
         F.round(F.approx_percentile("l_extendedprice", F.lit(0.50), acc), 4).alias("p50"),
         F.round(F.approx_percentile("l_extendedprice", F.lit(0.75), acc), 4).alias("p75"),
         F.round(F.approx_percentile("l_discount", F.lit(0.50), acc), 4).alias("median_discount"),
+    )
+
+
+_PCTL_VERIFY_ORACLE = """
+SELECT l_returnflag, count(*) AS n, TRUE AS rank_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles_approx_verify", _PCTL_VERIFY_ORACLE)
+def agg_percentiles_approx_verify(spark, sf_dir):
+    """Verify twin for the rows-only ``agg_percentiles_approx``:
+    Greenwald–Khanna at accuracy a guarantees the returned value's
+    RANK is within n/a of the target rank, so the guarantee — unlike
+    the sketch value — IS exactly checkable. Stage 1 computes the
+    approximate median per group; the (3-row) sketch result is
+    broadcast back onto lineitem and one conditional aggregate counts
+    values strictly-below / at-or-below it. With duplicates the
+    value's rank is the interval [lt+1, le]; ``rank_ok`` asserts that
+    interval intersects [n/2 - n/a, n/2 + n/a] (±1 for the floor/ceil
+    of an even/odd split). The oracle re-derives n exactly and emits
+    literal TRUE — a sketch regression past its bound hash-mismatches
+    at the driver. Two scans + a broadcast of G rows: scale-safe for
+    any group count that fits a broadcast, which a verify harness's
+    always does."""
+    acc = 10000
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(acc)
+        ).alias("_p50")
+    )
+    return (
+        li.join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("_p50"), 1).otherwise(0)
+            ).alias("_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_p50"), 1).otherwise(0)
+            ).alias("_le"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (
+                (F.col("_le") >= 0.5 * F.col("n") - F.col("n") / acc - 1)
+                & (F.col("_lt") <= 0.5 * F.col("n") + F.col("n") / acc + 1)
+            ).alias("rank_ok"),
+        )
     )
 
 
