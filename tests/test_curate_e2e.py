@@ -136,3 +136,66 @@ def test_curate_job_cli_end_to_end(spark, tmp_path):
     line = json.loads(out.stdout.strip().splitlines()[-1])
     assert line["n_pairs"] > 0 and line["n_packs"] > 0
     assert line["replay_sec"] <= line["wall_sec"]
+
+
+def test_replay_and_maintenance_job_clis(spark, tmp_path):
+    """The ops entries' CLI wiring, run in-process (spark-submit itself
+    is covered by bench/run_scaling.py and was smoke-run with --py-files
+    over both jobs — BENCH/BASELINE.md): replay_job gen→replay, then
+    maintenance_job --compact --expire-keep 1 --vacuum, and the
+    maintained table must still equal the pandas LWW oracle (compaction
+    / snapshot expiry / file GC may never change table state)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo, "PYSPARK_PYTHON": sys.executable}
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "replay_job.py"),
+         "--log", str(tmp_path / "log"), "--table", str(tmp_path / "table"),
+         "--ckpt", str(tmp_path / "ckpt"), "--gen-events", "2000",
+         "--gen-convs", "30", "--n-buckets", "8", "--cores", "4",
+         "--sink-mode", "mor"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rline = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rline["n_events"] == 2000 and rline["snapshot_version"] >= 0
+
+    m = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "maintenance_job.py"),
+         "--table", str(tmp_path / "table"), "--compact",
+         "--expire-keep", "1", "--vacuum", "--cores", "4"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert m.returncode == 0, m.stderr[-2000:]
+    mline = json.loads(m.stdout.strip().splitlines()[-1])
+    # ctor must adopt mode/buckets from the manifest, not defaults
+    assert mline["mode"] == "mor"
+    assert mline["compacted_to_version"] == mline["version"]
+    assert mline["expired_snapshots"] >= 1 and mline["vacuumed_files"] >= 1
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    live = (
+        IceboxSink(spark, str(tmp_path / "table"))
+        .read_live()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    log = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(str(tmp_path / "log" / "*.parquet")))
+    )
+    exp = (
+        expected_state(log)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(live) == len(exp)
+    assert live["text"].equals(exp["text"])
