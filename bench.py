@@ -38,7 +38,7 @@ Env knobs:
                             (default 2.0; 0 off)
   MERLIN_BENCH_PROBE_TRIES  probes per rep       (default 6)
   MERLIN_BENCH_PROBE_WAIT   secs between probes  (default 15)
-  MERLIN_BENCH_TAG          BENCH/queries_<tag>.json name (default r04)
+  MERLIN_BENCH_TAG          BENCH/queries_<tag>.json name (default r05)
 """
 
 from __future__ import annotations
@@ -174,7 +174,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
     n_events = int(os.environ.get("MERLIN_BENCH_EVENTS", "2000000"))
-    tag = os.environ.get("MERLIN_BENCH_TAG", "r04")
+    tag = os.environ.get("MERLIN_BENCH_TAG", "r05")
 
     spark = get_spark("merlin-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
