@@ -394,7 +394,17 @@ class IceboxSink:
             "resolved": bool(resolved) or (
                 not new_files and bool(man.get("resolved"))
             ),
-            "lsn_hi": int(lsn_hi) if lsn_hi is not None else man.get("lsn_hi", -1),
+            # table HIGH-WATER mark, monotone across commits — NOT the
+            # batch's own max (stored per-batch in lineage). Batches
+            # arrive in arbitrary lsn order under the files source
+            # (file order = mod time; distributed segment writers
+            # finish out of order), so taking the batch value verbatim
+            # made lsn_hi go BACKWARD — found by the 10^7 kill-9 soak,
+            # where the resumed replay's final batch happened to hold a
+            # low-lsn segment and lsn_hi reported 27/32 of the log on a
+            # fully-converged table.
+            "lsn_hi": (max(int(lsn_hi), man.get("lsn_hi", -1))
+                       if lsn_hi is not None else man.get("lsn_hi", -1)),
             "lsn_lo_batch": int(lsn_lo) if lsn_lo is not None else None,
             "total_rows": int(n_rows),
             "n_buckets": self.n_buckets,

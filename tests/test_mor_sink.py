@@ -267,3 +267,31 @@ def test_compacted_read_skips_lww_resolution(spark, tmp_path, log):
     assert "max_by" in plan2
     got = _final(spark, str(tmp_path / "table"))
     assert (got["conv_id"] == "convNEW").sum() == 5
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_lsn_hi_is_monotone_high_water_under_out_of_order_batches(
+    spark, tmp_path, log, mode
+):
+    """Manifest lsn_hi is the TABLE high-water mark, monotone across
+    commits, even when batches arrive in descending lsn order (the
+    files source orders by mod time, not lsn — distributed segment
+    writers finish out of order). Regression for the 10^7 kill-9 soak
+    finding: the batch value taken verbatim made lsn_hi go backward,
+    reporting a converged table as a partial replay."""
+    from merlin_spark.changelog import read_batch
+    from merlin_spark.fixtures import write_segments
+
+    write_segments(log, str(tmp_path / "log"), n_segments=2)
+    max_lsn = int(log["lsn"].max())
+    mid = int(log["lsn"].median())
+
+    sink = IceboxSink(spark, str(tmp_path / "table"), n_buckets=4, mode=mode)
+    # batch 0 = HIGH lsn half, batch 1 = LOW half (descending order)
+    sink.apply(read_batch(spark, str(tmp_path / "log"), lsn_from=mid + 1), 0)
+    assert sink.manifest()["lsn_hi"] == max_lsn
+    sink.apply(read_batch(spark, str(tmp_path / "log"), lsn_to=mid), 1)
+    assert sink.manifest()["lsn_hi"] == max_lsn  # must not regress
+    # compaction carries the mark forward untouched
+    sink.compact()
+    assert sink.manifest()["lsn_hi"] == max_lsn

@@ -49,3 +49,81 @@ def test_million_event_capped_binlog_convergence(spark):
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ten_million_event_kill9_resume_convergence(spark):
+    """Hard-crash soak at 10^7 events: SIGKILL the ENTIRE replay
+    process group (python + JVM) mid-stream after ≥3 sink commits,
+    then rerun the same replay_job CLI and require exact convergence
+    vs the pandas oracle. Stronger than the in-process injected-crash
+    tests: a kill -9 leaves arbitrary torn state (half-written data
+    files, SS offset log ahead of the sink ledger, stale temp dirs)
+    rather than a clean exception path, and at this scale the kill
+    lands inside real multi-file micro-batches."""
+    import glob
+    import json
+    import shutil
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="merlin-soak9-", dir=base)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo, "PYSPARK_PYTHON": sys.executable}
+    job = os.path.join(repo, "jobs", "replay_job.py")
+    replay_cmd = [
+        sys.executable, job, "--log", f"{tmp}/log", "--table", f"{tmp}/table",
+        "--ckpt", f"{tmp}/ckpt", "--sink-mode", "mor", "--n-buckets", "16",
+        "--max-files-per-trigger", "4", "--cores", "8",
+    ]
+    try:
+        gen = subprocess.run(
+            [sys.executable, job, "--log", f"{tmp}/log", "--table", "unused",
+             "--ckpt", "unused", "--gen-events", "10000000", "--gen-only",
+             "--cores", "8"],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        assert gen.returncode == 0, gen.stderr[-2000:]
+
+        # run 1: kill the whole process group once commit v2 exists
+        p = subprocess.Popen(replay_cmd, env=env, start_new_session=True,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        marker = f"{tmp}/table/snapshots/v2.json"
+        deadline = _time.monotonic() + 600
+        while _time.monotonic() < deadline:
+            if os.path.exists(marker):
+                os.killpg(p.pid, signal.SIGKILL)
+                break
+            if p.poll() is not None:  # finished before v2?! fail loudly
+                raise AssertionError("replay finished before kill marker")
+            _time.sleep(0.2)
+        rc = p.wait(timeout=60)
+        assert rc != 0, "expected the killed run to die non-zero"
+
+        # run 2: same table/ckpt — must resume and converge
+        r2 = subprocess.run(replay_cmd, capture_output=True, text=True,
+                            timeout=1800, env=env)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        line = json.loads(r2.stdout.strip().splitlines()[-1])
+        assert line["lsn_hi"] == 10_000_000
+
+        got = (
+            table_view(IceboxSink(spark, f"{tmp}/table").read(), None)
+            .toPandas().sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        log = pd.concat(
+            pq.read_table(f).to_pandas()
+            for f in sorted(glob.glob(f"{tmp}/log/*.parquet"))
+        )
+        exp = expected_state(log).reset_index(drop=True)
+        assert len(got) == len(exp), (len(got), len(exp))
+        pd.testing.assert_series_equal(got["text"], exp["text"],
+                                       check_names=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
