@@ -34,6 +34,20 @@ from __future__ import annotations
 
 import os
 
+
+def _trace(msg: str) -> None:
+    """Env-gated planner-call tracing (MERLIN_BINLOG_TRACE=1): one
+    stderr line per reader lifecycle/offset/planning call, pid-tagged
+    so separate reader incarnations (driver vs recycled planning
+    workers) are distinguishable. Diagnostic tooling for offset-log
+    forensics — zero cost when unset."""
+    if os.environ.get("MERLIN_BINLOG_TRACE"):
+        import sys
+        import time
+
+        print(f"[binlog-trace pid={os.getpid()} t={time.time():.3f}] {msg}",
+              file=sys.stderr, flush=True)
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -216,25 +230,33 @@ class BinlogStreamReader(DataSourceStreamReader):
         # starts are exact (the start offset IS 0). After a RESTART the
         # FIRST capped planning call may emit an end BELOW the
         # checkpointed position (floor still unknown); every later call
-        # clamps its end to the floor partitions() learned from the
-        # engine-provided batch start, so at most ONE regressed offset
-        # entry ever exists in the engine's log. Delivery: partitions()
-        # clamps every slice's exclusive lower bound to the floor, so
-        # climb-back windows deliver zero rows. Redelivery semantics are
-        # therefore BOUNDED, not zero (ADVICE r3 #3): if the process
-        # crashes after committing that one regressed batch and before
-        # the next commit, the restarted reader adopts the regressed
-        # start as its floor and re-delivers at most one cap-window of
-        # already-applied lsns — absorbed by the idempotent LWW sink;
-        # non-LWW consumers need an idempotent/dedup sink of their own
-        # (the Python DataSource API offers no place to persist the
-        # floor across processes, and the source must not write to the
-        # log directory it tails).
+        # clamps its END to the floor partitions() learned from
+        # engine-provided positions, so at most ONE regressed offset
+        # entry ever exists in the engine's log. (When Spark's restart
+        # sequence makes its planInputPartitions(walEnd, walEnd) call
+        # before the first latestOffset, the floor learns the WAL
+        # position up front and no regressed entry is emitted at all.)
+        #
+        # The floor is used ONLY for that end-offset guard. Delivery is
+        # exactly the engine-requested (start, end] window — never
+        # floor-clamped: the restart sequence passes NON-committed
+        # starts (the (walEnd, walEnd) planning call), and adopting one
+        # as a delivery floor silently emptied the re-executed batch —
+        # 10^7 kill-9 soak finding, see partitions(). Consequence:
+        # after a regressed offset entry, climb-back windows RE-deliver
+        # already-applied lsns (bounded by the regression span) —
+        # absorbed by the idempotent LWW sink + batch ledger; non-LWW
+        # consumers need an idempotent/dedup sink of their own (the
+        # Python DataSource API offers no place to persist positions
+        # across processes, and the source must not write to the log
+        # directory it tails).
         self._prev: int | None = None
         self._floor = 0  # highest engine-provided committed start seen
+        _trace(f"__init__ path={self.path} cap={self.max_lsn_per_trigger}")
 
     def initialOffset(self) -> dict:
         self._prev = 0
+        _trace("initialOffset -> 0")
         return {"lsn": 0}
 
     def latestOffset(self) -> dict:
@@ -250,18 +272,34 @@ class BinlogStreamReader(DataSourceStreamReader):
         # __init__ comment / ADVICE r3 #3)
         hi = max(hi, self._floor)
         self._prev = max(hi, self._prev or 0)
+        _trace(f"latestOffset -> {self._prev} (floor={self._floor})")
         return {"lsn": self._prev}
 
     def partitions(self, start: dict, end: dict):
         lo = int(start.get("lsn", 0))
         hi = int(end.get("lsn", 0))
-        # position bookkeeping across restarts: the engine's start is an
-        # already-committed position — adopt it as the delivery floor
-        # and snap the rate-limit position to it, so a capped restart
-        # never re-delivers below the checkpoint (see __init__ comment)
+        # Position bookkeeping across restarts: remember the highest
+        # engine-provided position for latestOffset's regression guard
+        # and snap the rate-limit position forward (see __init__).
+        #
+        # The floor must NEVER clamp DELIVERY. Spark's restart sequence
+        # calls planInputPartitions(end, end) of the WAL'd uncommitted
+        # batch BEFORE re-executing it — a planning call whose start is
+        # NOT a committed position. r5's 10^7 kill-9 soak caught the
+        # old `lo_eff = max(lo, self._floor)` clamp adopting that end
+        # as the floor and then delivering ZERO rows for the re-executed
+        # window (trace: partitions(5000000, 5000000) → floor=5000000;
+        # partitions(3750000, 5000000) → lo_eff=5000000 → 0 parts) — a
+        # silently lost 1.25M-lsn window behind a fully-advanced offset
+        # log. The engine's offset WAL is the sole source of truth for
+        # what (start, end] means: deliver exactly that. The cost is
+        # bounded REdelivery of climb-back windows after a capped
+        # restart offset regression (absorbed by the idempotent LWW
+        # sink + ledger, as documented in __init__); the old clamp
+        # traded that bounded redelivery for unbounded data loss.
         self._floor = max(self._floor, lo)
         self._prev = max(self._prev or 0, lo, hi)
-        lo_eff = max(lo, self._floor)
+        lo_eff = lo
         parts: list[_StreamSlicePartition] = []
         for fp in _segments(self.path):
             flo, fhi = _lsn_range(fp)
@@ -279,6 +317,8 @@ class BinlogStreamReader(DataSourceStreamReader):
             for rg, rlo, rhi in rg_ranges:
                 if rhi > lo_eff and rlo <= hi:
                     parts.append(_StreamSlicePartition(fp, lo_eff, hi, [rg]))
+        _trace(f"partitions(start={lo}, end={hi}) floor={self._floor} "
+               f"lo_eff={lo_eff} -> {len(parts)} parts")
         return parts or [_StreamSlicePartition("", 0, 0)]
 
     def read(self, partition: _StreamSlicePartition):
@@ -316,6 +356,7 @@ class BinlogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # immutable log: nothing to ack; keep the rate-limit position
         self._prev = max(self._prev or 0, int(end.get("lsn", 0)))
+        _trace(f"commit(end={end.get('lsn')}) -> prev={self._prev}")
 
 
 class BinlogDataSource(DataSource):

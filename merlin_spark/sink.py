@@ -49,6 +49,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import sys
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -540,13 +541,37 @@ class IceboxSink:
         new_files = self._write_buckets(
             to_stored(observed), None, n_parts=self.n_buckets
         )
-        got = obs.get
-        if not got["n"]:
-            new_files = {}
+        try:
+            got = obs.get
+        except Exception as e:
+            # Observation.get sporadically dies with a JVM
+            # `java.lang.AssertionError` from PythonSQLUtils.toPyRow
+            # (observed-metrics row arrives without a schema — a race
+            # in Spark's observation machinery under load, hit ~1-in-4
+            # by the 10^7 kill-9 soak's resumed run with a second JVM
+            # on the host). The write above already succeeded, so the
+            # batch must NOT die for a stats read: the written parquet
+            # footers are the same numbers from a source that cannot
+            # race. Fall back to them.
+            print(f"[icebox] Observation.get failed ({e!r}); "
+                  "using parquet-footer batch stats", file=sys.stderr)
+            got = None
         # ONE executor-parallel footer job feeds both the manifest's
         # per-file key stats (via _commit) and the per-bucket lineage
+        if got is not None and not got["n"]:
+            new_files = {}
         pre_stats = self._collect_file_stats(new_files)
         stats = self._footer_stats(new_files, pre_stats) if new_files else []
+        if got is None:
+            got = {
+                "n": sum(int(r["n"]) for r in stats),
+                "lo": min((int(r["lo"]) for r in stats if r["lo"] >= 0),
+                          default=None),
+                "hi": max((int(r["hi"]) for r in stats if r["hi"] >= 0),
+                          default=None),
+            }
+            if not got["n"]:
+                new_files, stats = {}, []
         lo = got["lo"] if new_files else None
         hi = got["hi"] if new_files else None
         n_rows = int(got["n"]) if new_files else man.get("total_rows", 0)

@@ -295,3 +295,39 @@ def test_lsn_hi_is_monotone_high_water_under_out_of_order_batches(
     # compaction carries the mark forward untouched
     sink.compact()
     assert sink.manifest()["lsn_hi"] == max_lsn
+
+
+def test_mor_apply_survives_observation_get_failure(
+    spark, tmp_path, log, monkeypatch
+):
+    """Observation.get sporadically dies with a JVM AssertionError from
+    PythonSQLUtils.toPyRow (schema-less metrics row — an upstream race
+    hit by the 10^7 kill-9 soak's resumed run under host load). The
+    batch write has already succeeded at that point, so the apply must
+    fall back to parquet-footer stats instead of failing the stream.
+    Forces the failure on every batch and requires identical manifest
+    bookkeeping and table state."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import Observation
+
+    from merlin_spark.changelog import read_batch
+    from merlin_spark.fixtures import write_segments
+
+    write_segments(log, str(tmp_path / "log"), n_segments=2)
+
+    def _boom(self):
+        raise RuntimeError(
+            "java.lang.AssertionError: assertion failed (simulated "
+            "PythonSQLUtils.toPyRow observation race)"
+        )
+
+    monkeypatch.setattr(Observation, "get", property(_boom))
+    sink = IceboxSink(spark, str(tmp_path / "table"), n_buckets=4, mode="mor")
+    sink.apply(read_batch(spark, str(tmp_path / "log")), 0)
+    man = sink.manifest()
+    assert man["lsn_hi"] == int(log["lsn"].max())
+    assert man["total_rows"] > 0
+    monkeypatch.undo()
+
+    got = _final(spark, str(tmp_path / "table"))
+    _assert_state(got, expected_state(log))

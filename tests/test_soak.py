@@ -51,7 +51,8 @@ def test_million_event_capped_binlog_convergence(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_ten_million_event_kill9_resume_convergence(spark):
+@pytest.mark.parametrize("source", ["files", "binlog"])
+def test_ten_million_event_kill9_resume_convergence(spark, source):
     """Hard-crash soak at 10^7 events: SIGKILL the ENTIRE replay
     process group (python + JVM) mid-stream after ≥3 sink commits,
     then rerun the same replay_job CLI and require exact convergence
@@ -59,7 +60,14 @@ def test_ten_million_event_kill9_resume_convergence(spark):
     tests: a kill -9 leaves arbitrary torn state (half-written data
     files, SS offset log ahead of the sink ledger, stale temp dirs)
     rather than a clean exception path, and at this scale the kill
-    lands inside real multi-file micro-batches."""
+    lands inside real multi-file micro-batches.
+
+    Parametrized over both sources because their resume machinery is
+    disjoint: files = SS file-source metadata log + availableNow
+    replan; binlog = the custom Python DataSource's LSN-position
+    offsets + capped processingTime drain + the r4 offset-floor clamp.
+    The files variant's first run caught the lsn_hi backward-march
+    (see _commit)."""
     import glob
     import json
     import shutil
@@ -78,8 +86,9 @@ def test_ten_million_event_kill9_resume_convergence(spark):
     replay_cmd = [
         sys.executable, job, "--log", f"{tmp}/log", "--table", f"{tmp}/table",
         "--ckpt", f"{tmp}/ckpt", "--sink-mode", "mor", "--n-buckets", "16",
-        "--max-files-per-trigger", "4", "--cores", "8",
-    ]
+        "--cores", "8", "--source-format", source,
+    ] + (["--max-lsn-per-trigger", "1250000"] if source == "binlog"
+         else ["--max-files-per-trigger", "4"])
     try:
         gen = subprocess.run(
             [sys.executable, job, "--log", f"{tmp}/log", "--table", "unused",
@@ -90,25 +99,34 @@ def test_ten_million_event_kill9_resume_convergence(spark):
         assert gen.returncode == 0, gen.stderr[-2000:]
 
         # run 1: kill the whole process group once commit v2 exists
-        p = subprocess.Popen(replay_cmd, env=env, start_new_session=True,
-                             stdout=subprocess.DEVNULL,
-                             stderr=subprocess.DEVNULL)
-        marker = f"{tmp}/table/snapshots/v2.json"
-        deadline = _time.monotonic() + 600
-        while _time.monotonic() < deadline:
-            if os.path.exists(marker):
-                os.killpg(p.pid, signal.SIGKILL)
-                break
-            if p.poll() is not None:  # finished before v2?! fail loudly
-                raise AssertionError("replay finished before kill marker")
-            _time.sleep(0.2)
+        with open(f"{tmp}/run1.err", "w") as errf:
+            p = subprocess.Popen(replay_cmd, env=env, start_new_session=True,
+                                 stdout=subprocess.DEVNULL, stderr=errf)
+            marker = f"{tmp}/table/snapshots/v2.json"
+            deadline = _time.monotonic() + 600
+            while _time.monotonic() < deadline:
+                if os.path.exists(marker):
+                    os.killpg(p.pid, signal.SIGKILL)
+                    break
+                if p.poll() is not None:  # exited before v2?! fail loudly
+                    with open(f"{tmp}/run1.err") as f:
+                        raise AssertionError(
+                            "replay exited rc=%s before kill marker: %s"
+                            % (p.returncode, f.read()[-2000:])
+                        )
+                _time.sleep(0.2)
         rc = p.wait(timeout=60)
         assert rc != 0, "expected the killed run to die non-zero"
 
         # run 2: same table/ckpt — must resume and converge
         r2 = subprocess.run(replay_cmd, capture_output=True, text=True,
                             timeout=1800, env=env)
-        assert r2.returncode == 0, r2.stderr[-2000:]
+        if r2.returncode != 0:
+            # keep the FULL resume stderr outside tmp for post-mortem
+            # (the finally-rmtree would eat it)
+            with open(f"/tmp/merlin_soak9_{source}_r2_stderr.txt", "w") as f:
+                f.write(r2.stderr)
+        assert r2.returncode == 0, r2.stderr[-4000:]
         line = json.loads(r2.stdout.strip().splitlines()[-1])
         assert line["lsn_hi"] == 10_000_000
 
@@ -122,8 +140,11 @@ def test_ten_million_event_kill9_resume_convergence(spark):
             for f in sorted(glob.glob(f"{tmp}/log/*.parquet"))
         )
         exp = expected_state(log).reset_index(drop=True)
-        assert len(got) == len(exp), (len(got), len(exp))
+        assert len(got) == len(exp), (len(got), len(exp), f"kept: {tmp}")
         pd.testing.assert_series_equal(got["text"], exp["text"],
                                        check_names=False)
-    finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        # keep the dir — a convergence failure here is exactly-once
+        # evidence worth a post-mortem; /dev/shm is wiped on reboot
+        raise
